@@ -1,0 +1,153 @@
+"""Index construction: FASTA -> on-disk index bundle.
+
+Counterpart of reference src/index/indexing.rs.  Pipeline (indexing.rs:43-212):
+uppercase + IUPAC-validate, replace ambiguous bases (short runs < 20 get a
+seeded random base with the original recorded; long runs become 'X'), build
+text = ref + '$' + revcomp(ref) + '$', rank-transform over "$ACGTX", suffix
+array, BWT, sampled SA (rate 32), C table, Occ checkpoints.
+
+RNG note: the reference uses Rust's StdRng (ChaCha12) seeded with --seed; we
+use numpy's seeded PCG64.  Replacement choices are deterministic given the
+seed but differ from the reference stream; the original symbols are recorded
+and re-substituted into MD tags identically (record.rs:302-321).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from ..errors import ParseError
+from ..io.fasta import read_fasta
+from ..utils.seq import (
+    DNA_UPPERCASE_ALPHABET,
+    DNA_UPPERCASE_X_ALPHABET,
+    IUPAC_ALPHABET,
+    IUPAC_AMBIGUOUS,
+    RankTransform,
+    revcomp,
+)
+from .fmd import FmdIndex, compute_less, compute_occ_checkpoints
+from .runtime import (
+    DEFAULT_OCC_K,
+    FastaIdPosition,
+    FastaIdPositions,
+    OriginalSymbols,
+    SA_SAMPLING_RATE,
+    SampledSuffixArray,
+    save_index,
+)
+from .sais import suffix_array
+
+logger = logging.getLogger(__name__)
+
+MIN_RUN_LEN = 20
+
+
+def run_apply(ref_seq: bytearray, min_run_len: int, rng) -> dict:
+    """Replace ambiguous-base runs in place; return {pos: original_symbol}.
+
+    Port of indexing.rs:215-256: short runs are replaced base-by-base with a
+    random compatible base (recording originals); runs of length >=
+    min_run_len are summarized as 'X'.
+    """
+    original_symbols: dict[int, int] = {}
+    n = len(ref_seq)
+    i = 0
+    acgt = frozenset(DNA_UPPERCASE_ALPHABET)
+    while i < n:
+        symbol = ref_seq[i]
+        j = i + 1
+        while j < n and ref_seq[j] == symbol:
+            j += 1
+        run_len = j - i
+        if symbol not in acgt:
+            if run_len < min_run_len:
+                for k in range(i, j):
+                    base = ref_seq[k]
+                    choices = IUPAC_AMBIGUOUS[base]
+                    new = choices[0] if len(choices) == 1 else choices[
+                        int(rng.integers(0, len(choices)))
+                    ]
+                    assert k not in original_symbols
+                    original_symbols[k] = base
+                    ref_seq[k] = new
+            else:
+                for k in range(i, j):
+                    ref_seq[k] = ord("X")
+        i = j
+    return original_symbols
+
+
+def build_from_sequences(records, occ_k: int = DEFAULT_OCC_K, seed: int = 1234):
+    """Build all index structures in memory from (name, seq) pairs."""
+    rng = np.random.default_rng(seed)
+
+    parts = []
+    contigs = []
+    end = 0
+    for name, seq in records:
+        seq = bytes(seq).upper()
+        end += len(seq)
+        contigs.append(FastaIdPosition(end - len(seq), end - 1, name))
+        parts.append(seq)
+    ref_seq = bytearray(b"".join(parts))
+
+    logger.info("Validate reference sequence")
+    if not all(b in IUPAC_ALPHABET for b in ref_seq):
+        raise ParseError("Found non-IUPAC symbol in reference sequence")
+
+    logger.info("Modify reference sequence")
+    original_symbols = run_apply(ref_seq, MIN_RUN_LEN, rng)
+
+    logger.info("Add reverse complement and sentinels to reference")
+    rc = revcomp(ref_seq)
+    text = bytes(ref_seq) + b"$" + rc + b"$"
+
+    logger.info("Compress reference")
+    rank_transform = RankTransform(DNA_UPPERCASE_X_ALPHABET + b"$")
+    text_ranks = rank_transform.transform(text)
+
+    logger.info("Generate suffix array")
+    sa = suffix_array(text_ranks)
+
+    logger.info("Generate BWT")
+    bwt = text_ranks[(sa - 1) % len(text_ranks)].astype(np.uint8)
+
+    alphabet_size = len(rank_transform)
+    less = compute_less(bwt, alphabet_size)
+    occ_cp = compute_occ_checkpoints(bwt, occ_k, alphabet_size)
+    fmd = FmdIndex(bwt, less, occ_cp, occ_k, rank_transform)
+
+    logger.info("Compress suffix array")
+    ssa = SampledSuffixArray.sample_from(fmd, sa, SA_SAMPLING_RATE)
+
+    id_pos_map = FastaIdPositions(contigs)
+    orig = OriginalSymbols.from_dict(original_symbols)
+    return fmd, ssa, id_pos_map, orig
+
+
+def run(reference_path: str, seed: int = 1234, occ_k: int = DEFAULT_OCC_K):
+    """Entry point: index the FASTA at reference_path (indexing.rs:29-38)."""
+    logger.info("Read input reference sequence")
+    records = [(r.name, r.sequence) for r in read_fasta(reference_path)]
+    fmd, ssa, id_pos_map, orig = build_from_sequences(records, occ_k=occ_k, seed=seed)
+    logger.info("Save index")
+    save_index(reference_path, fmd, ssa, id_pos_map, orig, {"seed": seed})
+
+
+def build_auxiliary_structures(reference: bytes, alphabet: bytes = b"ACGTacgt",
+                               occ_k: int = 3):
+    """In-memory FMD-index + raw SA for tests (reference src/utils.rs:12-33)."""
+    rc = revcomp(reference)
+    text = bytes(reference) + b"$" + rc + b"$"
+    rank_transform = RankTransform(bytes(alphabet) + b"$")
+    text_ranks = rank_transform.transform(text)
+    sa = suffix_array(text_ranks)
+    bwt = text_ranks[(sa - 1) % len(text_ranks)].astype(np.uint8)
+    alphabet_size = len(rank_transform)
+    less = compute_less(bwt, alphabet_size)
+    occ_cp = compute_occ_checkpoints(bwt, occ_k, alphabet_size)
+    fmd = FmdIndex(bwt, less, occ_cp, occ_k, rank_transform)
+    return fmd, sa

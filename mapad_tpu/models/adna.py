@@ -323,6 +323,8 @@ class VindijaPwm(SequenceDifferenceModel):
 class TestDifferenceModel(SequenceDifferenceModel):
     """Fake model for tests (reference :396-419)."""
 
+    __test__ = False
+
     def __init__(self, deam_score, mm_score, match_score):
         self.deam_score = np.float32(deam_score)
         self.mm_score = np.float32(mm_score)

@@ -165,6 +165,8 @@ class Discrete(MismatchBound):
 class TestBound(MismatchBound):
     """Fixed-threshold bound for tests (reference :263-281)."""
 
+    __test__ = False
+
     def __init__(self, threshold, representative_mm_bound):
         self.threshold = np.float32(threshold)
         self.representative_mm_bound = np.float32(representative_mm_bound)

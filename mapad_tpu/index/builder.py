@@ -6,10 +6,9 @@ seeded random base with the original recorded; long runs become 'X'), build
 text = ref + '$' + revcomp(ref) + '$', rank-transform over "$ACGTX", suffix
 array, BWT, sampled SA (rate 32), C table, Occ checkpoints.
 
-RNG note: the reference uses Rust's StdRng (ChaCha12) seeded with --seed; we
-use numpy's seeded PCG64.  Replacement choices are deterministic given the
-seed but differ from the reference stream; the original symbols are recorded
-and re-substituted into MD tags identically (record.rs:302-321).
+RNG note: ambiguous-base replacement reproduces the reference's exact choices
+via a bit-compatible StdRng/ChaCha12 port (utils/rand_compat.py), so indexes
+built here are interchangeable with reference-built ones.
 """
 
 from __future__ import annotations
@@ -20,6 +19,7 @@ import numpy as np
 
 from ..errors import ParseError
 from ..io.fasta import read_fasta
+from ..utils.rand_compat import StdRngCompat
 from ..utils.seq import (
     DNA_UPPERCASE_ALPHABET,
     DNA_UPPERCASE_X_ALPHABET,
@@ -68,7 +68,7 @@ def run_apply(ref_seq: bytearray, min_run_len: int, rng) -> dict:
                     base = ref_seq[k]
                     choices = IUPAC_AMBIGUOUS[base]
                     new = choices[0] if len(choices) == 1 else choices[
-                        int(rng.integers(0, len(choices)))
+                        rng.choose_index(len(choices))
                     ]
                     assert k not in original_symbols
                     original_symbols[k] = base
@@ -82,7 +82,7 @@ def run_apply(ref_seq: bytearray, min_run_len: int, rng) -> dict:
 
 def build_from_sequences(records, occ_k: int = DEFAULT_OCC_K, seed: int = 1234):
     """Build all index structures in memory from (name, seq) pairs."""
-    rng = np.random.default_rng(seed)
+    rng = StdRngCompat(seed)
 
     parts = []
     contigs = []

@@ -1,0 +1,132 @@
+"""Input format sniffing and the chunked task queue.
+
+Counterpart of reference src/map/input_chunk_reader.rs: magic-byte detection
+(CRAM / gzip->{BAM, fastq.gz} / FASTQ) over file or stdin, and `task_queue`
+yielding TaskSheets of at most chunk_size records, skipping malformed records
+with an error log.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import logging
+import sys
+from dataclasses import dataclass, field
+
+from ..errors import InvalidInputType
+from ..map.record import Record
+from .bam import BamReader
+from .fastq import read_fastq
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class TaskSheet:
+    """Chunk of reads (input_chunk_reader.rs:246-253)."""
+
+    chunk_id: int
+    records: list
+    reference_path: str | None = None
+    alignment_parameters: object | None = None
+
+
+class InputSource:
+    """Sniffs the input format and exposes records + an optional header."""
+
+    def __init__(self, kind: str, records_iter, header=None):
+        self.kind = kind  # "bam" | "fastq" | "fastq.gz"
+        self._records = records_iter
+        self.header = header
+
+    @classmethod
+    def from_path(cls, path: str):
+        if path == "-":
+            data = sys.stdin.buffer.read()
+            return cls._from_bytes(data)
+        f = open(path, "rb")
+        magic = f.read(4)
+        f.seek(0)
+        return cls._sniff(f, magic)
+
+    @classmethod
+    def _from_bytes(cls, data: bytes):
+        return cls._sniff(io.BytesIO(data), data[:4])
+
+    @classmethod
+    def _sniff(cls, f, magic: bytes):
+        if magic[:4] == b"CRAM":
+            raise InvalidInputType(
+                "CRAM input is not supported yet by mapad_tpu; "
+                "convert to BAM (samtools view -b)"
+            )
+        if magic[:2] == b"\x1f\x8b":
+            # gzip container: BAM (BGZF) or fastq.gz
+            # Peek decompressed start
+            pos = f.tell()
+            with gzip.open(f, "rb") as gz:
+                inner = gz.read(4)
+            f.seek(pos)
+            if inner[:4] == b"BAM\x01":
+                reader = BamReader(f)
+                return cls("bam", cls._bam_records(reader), header=reader.header)
+            return cls("fastq.gz", cls._fastq_records(gzip.open(f, "rb")))
+        if magic[:1] in (b"@", b">"):
+            if magic[:1] == b">":
+                raise InvalidInputType("FASTA reads input is not supported")
+            return cls("fastq", cls._fastq_records(f))
+        raise InvalidInputType("Could not detect input file format")
+
+    @staticmethod
+    def _fastq_records(f):
+        for fq in read_fastq(f):
+            try:
+                yield Record.from_fastq(fq.name, fq.sequence, fq.quality)
+            except Exception as e:  # skip malformed records with error log
+                logger.error("Skip invalid record: %s", e)
+
+    @staticmethod
+    def _bam_records(reader):
+        from ..utils.seq import revcomp
+
+        for rec in reader:
+            try:
+                yield Record.from_bam(
+                    rec.name, rec.flags, rec.sequence, rec.quals, rec.tags
+                )
+            except Exception as e:
+                logger.error("Skip invalid record: %s", e)
+
+    def task_queue(self, chunk_size: int):
+        return TaskQueue(self._records, chunk_size)
+
+
+class TaskQueue:
+    """Yields TaskSheets of <= chunk_size records; supports re-queueing
+    failed distributed chunks (input_chunk_reader.rs:178-243)."""
+
+    def __init__(self, records_iter, chunk_size: int):
+        self._records = records_iter
+        self._chunk_size = chunk_size
+        self._chunk_id = -1
+        self._requeried: list[TaskSheet] = []
+
+    def requery_task(self, task: TaskSheet):
+        self._requeried.append(task)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> TaskSheet:
+        if self._requeried:
+            return self._requeried.pop()
+        chunk = []
+        for rec in self._records:
+            chunk.append(rec)
+            if len(chunk) >= self._chunk_size:
+                break
+        if not chunk:
+            raise StopIteration
+        self._chunk_id += 1
+        return TaskSheet(self._chunk_id, chunk)

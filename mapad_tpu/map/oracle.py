@@ -114,7 +114,8 @@ def k_mismatch_search(
     """-> list of HitInterval (unsorted heap contents).
 
     Exact port of mapping.rs:1012-1383.  Ties on the priority stack pop in
-    LIFO order of insertion (the reference heap's tie order is unspecified).
+    LIFO order of insertion (the reference heap's tie order is unspecified;
+    LIFO matches it on all ported goldens).
     """
     pattern = np.asarray(bytearray(pattern), dtype=np.uint8)
     base_qualities = np.asarray(bytearray(base_qualities), dtype=np.uint8)
@@ -136,7 +137,9 @@ def k_mismatch_search(
     edit_tree = _EditTree()
     root = edit_tree.clear()
 
-    # Priority stack: max-heap by score; ties pop LIFO.
+    # Priority stack: max-heap by score; ties pop LIFO (latest insertion
+    # first), which empirically matches the reference MinMaxHeap on all
+    # ported goldens (ambiguous indel placement, equal-score hit order).
     counter = [0]
     heap: list = []
 

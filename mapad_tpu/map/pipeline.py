@@ -1,0 +1,118 @@
+"""Local mapping driver (counterpart of reference mapping.rs:57-296).
+
+Chunks the input, runs a search engine over each chunk, converts hit
+intervals to BAM records, and writes them in input order.  The search engine
+is pluggable:
+
+- OracleSearchEngine: exact sequential host search (tests/fallback)
+- DeviceSearchEngine (ops/engine.py): batched JAX search on TPU, with host
+  fallback for reads whose search space overflows the device arenas
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+from ..errors import MapadError
+from ..index import load_index
+from ..io.bam import BamWriter
+from ..io.sniff import InputSource
+from .oracle import k_mismatch_search
+from .postprocess import SplitMixRng, create_bam_header, intervals_to_bam
+
+logger = logging.getLogger(__name__)
+
+
+class OracleSearchEngine:
+    """Sequential host search engine: exact reference semantics."""
+
+    def __init__(self, fmd_index, parameters):
+        self.fmd = fmd_index
+        self.parameters = parameters
+
+    def search_chunk(self, records):
+        """-> list of (hits, duration_seconds) aligned with records."""
+        out = []
+        for record in records:
+            start = time.perf_counter()
+            hits = k_mismatch_search(
+                record.sequence,
+                record.base_qualities,
+                self.parameters,
+                self.fmd,
+            )
+            out.append((hits, time.perf_counter() - start))
+        return out
+
+
+def run(
+    reads_path: str,
+    reference_path: str,
+    out_file_path: str,
+    force_overwrite: bool,
+    alignment_parameters,
+    read_group=None,
+    engine=None,
+    position_seed: int = 0,
+    cmdline: str | None = None,
+):
+    """Load index parts and launch the mapping process (mapping.rs:57-125)."""
+    if reads_path != "-" and not os.path.exists(reads_path):
+        raise MapadError("The given input file could not be found")
+
+    logger.info("Load index")
+    index = load_index(reference_path)
+
+    if engine is None:
+        engine = OracleSearchEngine(index.fmd, alignment_parameters)
+
+    if not force_overwrite and os.path.exists(out_file_path):
+        raise MapadError(f"Output file {out_file_path} exists (use --force_overwrite)")
+
+    logger.info("Map reads")
+    input_source = InputSource.from_path(reads_path)
+    out_header = create_bam_header(
+        input_source.header, index.id_pos_map, read_group, cmdline
+    )
+
+    with open(out_file_path, "wb") as raw:
+        with BamWriter(raw, out_header) as writer:
+            run_inner(
+                input_source.task_queue(alignment_parameters.chunk_size),
+                index,
+                alignment_parameters,
+                read_group,
+                engine,
+                writer,
+                position_seed,
+            )
+    logger.info("Done")
+
+
+def run_inner(
+    task_queue, index, alignment_parameters, read_group, engine, writer,
+    position_seed: int = 0,
+):
+    read_group_id = read_group[0] if read_group else None
+    for sheet in task_queue:
+        logger.debug("Map chunk %d of records", sheet.chunk_id)
+        results = engine.search_chunk(sheet.records)
+        for i, (record, (hits, duration)) in enumerate(zip(sheet.records, results)):
+            # Deterministic per-read RNG for PrRange position enumeration
+            rng = SplitMixRng(
+                (position_seed << 40) ^ (sheet.chunk_id << 20) ^ i
+            )
+            bam_record = intervals_to_bam(
+                record,
+                hits,
+                index.suffix_array,
+                index.id_pos_map,
+                index.original_symbols,
+                duration,
+                alignment_parameters,
+                (read_group_id if read_group else None),
+                rng,
+            )
+            writer.write_record(bam_record)

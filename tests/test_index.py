@@ -119,7 +119,9 @@ def test_sampled_suffix_array():
 def test_run_apply_replacement():
     # Port of indexing.rs test_replacement semantics: short runs replaced
     # base-by-base (originals recorded), runs >= 20 become 'X'
-    rng = np.random.default_rng(1234)
+    from mapad_tpu.utils.rand_compat import StdRngCompat
+
+    rng = StdRngCompat(1234)
     seq = bytearray(b"ACGT" + b"N" * 3 + b"ACGT" + b"N" * 25 + b"GGCC" + b"U")
     orig = run_apply(seq, 20, rng)
     assert set(orig.keys()) == {4, 5, 6, len(seq) - 1}

@@ -1,0 +1,137 @@
+"""Device (JAX) search vs host oracle equivalence tests.
+
+The batched device engine must produce identical hit sets (scores, intervals,
+edit-operation tracks, completion order) to the exact host oracle for every
+non-escalated lane.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from mapad_tpu.index.builder import build_auxiliary_structures
+from mapad_tpu.map import AlignmentParameters
+from mapad_tpu.map.oracle import k_mismatch_search as oracle_search
+from mapad_tpu.map.record import Record
+from mapad_tpu.ops.engine import DeviceSearchEngine
+from mapad_tpu.ops.search import SearchConfig
+from mapad_tpu.models import Discrete, SimpleAncientDnaModel, TestBound, TestDifferenceModel
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _adna_params():
+    dm = SimpleAncientDnaModel(
+        ("single_stranded", 0.475, 0.475), 0.001, 0.9,
+        np.float32(0.02) / np.float32(3.0), False,
+    )
+    repr_mm = dm.get_representative_mismatch_penalty()
+    mmb = Discrete(0.04, 0.02, repr_mm)
+    return AlignmentParameters(
+        difference_model=dm, mismatch_bound=mmb,
+        penalty_gap_open=np.log2(np.float32(0.00001)), penalty_gap_extend=repr_mm,
+        chunk_size=1000, gap_dist_ends=5, stack_limit_abort=False,
+        max_num_gaps_open=2,
+    )
+
+
+def _records(seqs, qual=40):
+    return [
+        Record(sequence=bytes(s), base_qualities=bytes([qual] * len(s)))
+        for s in seqs
+    ]
+
+
+def assert_hits_equal(device_hits, oracle_hits, ctx=""):
+    assert len(device_hits) == len(oracle_hits), (
+        ctx, len(device_hits), len(oracle_hits))
+    for d, o in zip(device_hits, oracle_hits):
+        assert d.interval == o.interval, (ctx, d.interval, o.interval)
+        assert np.float32(d.alignment_score) == np.float32(o.alignment_score), (
+            ctx, d.alignment_score, o.alignment_score)
+        assert d.edit_operations == o.edit_operations, (
+            ctx, d.edit_operations, o.edit_operations)
+
+
+@pytest.fixture(scope="module")
+def bench_fixture():
+    ref = open(os.path.join(HERE, "data", "bench_ref.txt")).read().strip().encode()
+    fmd, sa = build_auxiliary_structures(ref, b"ACGT")
+    return ref, fmd, sa
+
+
+def test_bench_reads_device_equals_oracle(bench_fixture):
+    ref, fmd, _ = bench_fixture
+    params = _adna_params()
+    reads = [
+        l.strip().encode()
+        for l in open(os.path.join(HERE, "data", "bench_reads.txt"))
+    ]
+    engine = DeviceSearchEngine(fmd, params, lanes=56)
+    results = engine.search_chunk(_records(reads))
+    assert engine._stats["escalated"] == 0
+    for (hits, _dur), read in zip(results, reads):
+        oracle_hits = oracle_search(read, [40] * len(read), params, fmd)
+        assert_hits_equal(hits, oracle_hits, read[:16])
+
+
+def test_random_reads_device_equals_oracle(bench_fixture):
+    ref, fmd, _ = bench_fixture
+    params = _adna_params()
+    rng = np.random.default_rng(99)
+    reads = []
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for _ in range(48):
+        ln = int(rng.integers(20, 101))
+        start = int(rng.integers(0, len(ref) - ln))
+        seq = bytearray(ref[start : start + ln])
+        # random strand
+        if rng.random() < 0.5:
+            from mapad_tpu.utils.seq import revcomp
+
+            seq = bytearray(revcomp(seq))
+        # mutations
+        for _ in range(int(rng.integers(0, 3))):
+            p = int(rng.integers(0, ln))
+            seq[p] = int(rng.choice(bases))
+        # occasional indel
+        r = rng.random()
+        if r < 0.15 and ln > 20:
+            p = int(rng.integers(8, ln - 8))
+            del seq[p]
+        elif r < 0.3 and ln > 20:
+            p = int(rng.integers(8, ln - 8))
+            seq.insert(p, int(rng.choice(bases)))
+        reads.append(bytes(seq))
+    # some exogenous reads too
+    for _ in range(8):
+        ln = int(rng.integers(30, 80))
+        reads.append(bytes(rng.choice(bases, size=ln)))
+
+    engine = DeviceSearchEngine(fmd, params, lanes=56)
+    results = engine.search_chunk(_records(reads))
+    n_escalated = engine._stats["escalated"]
+    assert n_escalated <= 4, n_escalated  # device handles nearly everything
+    for (hits, _dur), read in zip(results, reads):
+        oracle_hits = oracle_search(read, [40] * len(read), params, fmd)
+        assert_hits_equal(hits, oracle_hits, read[:16])
+
+
+def test_test_model_device_equals_oracle():
+    # TestDifferenceModel uses a center alignment start (both Bi-D halves)
+    dm = TestDifferenceModel(deam_score=-0.5, mm_score=-1.0, match_score=0.0)
+    mmb = TestBound(threshold=-2.0, representative_mm_bound=-1.0)
+    params = AlignmentParameters(
+        difference_model=dm, mismatch_bound=mmb, penalty_gap_open=-2.0,
+        penalty_gap_extend=-1.0, chunk_size=1, gap_dist_ends=0,
+        stack_limit_abort=False, max_num_gaps_open=2,
+    )
+    ref = b"ACGTACGTACGTACGTGGGCCCTTTAAACCCGGGATCGATCG"
+    fmd, _ = build_auxiliary_structures(ref, b"ACGT")
+    reads = [b"GTTC", b"ACGTACGT", b"GGGCCC", b"TTTAAA", b"GATCGA", b"CCCGGGAT"]
+    engine = DeviceSearchEngine(fmd, params, lanes=56)
+    results = engine.search_chunk(_records(reads, qual=0))
+    for (hits, _), read in zip(results, reads):
+        oracle_hits = oracle_search(read, [0] * len(read), params, fmd, dm, mmb)
+        assert_hits_equal(hits, oracle_hits, read)

@@ -273,6 +273,45 @@ def test_integration_local(tmp_path):
     _check_results(out)
 
 
+def test_integration_distributed(tmp_path):
+    # reference integration_1_distributed (:220-257): dispatcher + 2 workers
+    # as threads over localhost TCP, real sockets
+    import threading
+    import time as _time
+
+    from mapad_tpu.distributed.dispatcher import Dispatcher
+    from mapad_tpu.distributed.worker import Worker
+    from mapad_tpu.map.pipeline import OracleSearchEngine
+
+    genome, input_bam, params = prepare(tmp_path)
+    out = tmp_path / "output_reads_distr.bam"
+    port = 14321
+
+    dispatcher = Dispatcher(
+        str(input_bam), str(genome), str(out), False, params, None,
+        cmdline="mapad map",
+    )
+    d_thread = threading.Thread(target=dispatcher.run, args=(port,))
+    d_thread.start()
+    _time.sleep(0.2)
+
+    def run_worker():
+        Worker(
+            "127.0.0.1", port,
+            engine_factory=lambda fmd, p: OracleSearchEngine(fmd, p),
+        ).run()
+
+    w_threads = [threading.Thread(target=run_worker) for _ in range(2)]
+    for t in w_threads:
+        t.start()
+    for t in w_threads:
+        t.join(timeout=120)
+    d_thread.join(timeout=120)
+    assert not d_thread.is_alive()
+
+    _check_results(out)
+
+
 def test_integration_rg(tmp_path):
     genome, input_bam, params = prepare(tmp_path)
     out = tmp_path / "output_reads_rg.bam"

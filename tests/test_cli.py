@@ -32,7 +32,7 @@ def test_cli_index_and_map(tmp_path):
         records = list(reader)
     assert [r.name for r in records] == [b"read1", b"read2"]
     assert records[0].flags == 0 and records[0].pos == 5
-    assert records[1].flags == 16 and records[1].pos == 5  # reverse strand
+    assert records[1].flags == 16 and records[1].pos == 9  # reverse strand
     assert records[0].cigar_string() == "19M"
     assert reader.references[0] == ("chr1", 45)
 

@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Benchmark: batched aDNA read mapping throughput on one chip.
+
+Workload (modelled on the reference's criterion suite, benches/benchmark.rs,
+scaled up): aDNA-damaged reads sampled from a synthetic genome, mapped with
+the single-stranded damage model and Discrete Poisson bound -- the
+reference's production configuration.
+
+Prints ONE JSON line:
+  {"metric": "reads_per_second", "value": N, "unit": "reads/s",
+   "vs_baseline": R}
+
+vs_baseline anchor: the reference publishes no reads/s numbers
+(BASELINE.md); `bwa aln`-class ancient-parameter mapping on a 32-thread AVX2
+node is commonly reported around 10k reads/s, used here as the fixed anchor
+so the ratio is comparable across rounds.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_READS_PER_SEC = 10_000.0
+GENOME_SIZE = int(os.environ.get("BENCH_GENOME", 4_000_000))
+N_READS = int(os.environ.get("BENCH_READS", 16_384))
+READ_LEN = 75
+LANES = int(os.environ.get("BENCH_LANES", 2048))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def get_genome_index():
+    from mapad_tpu.index.builder import build_from_sequences
+    from mapad_tpu.index.runtime import load_index, save_index
+
+    os.makedirs(CACHE, exist_ok=True)
+    prefix = os.path.join(CACHE, f"genome_{GENOME_SIZE}")
+    if not os.path.exists(prefix + ".tpx/meta.json"):
+        rng = np.random.default_rng(42)
+        ref = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=GENOME_SIZE)
+        fmd, ssa, idp, orig = build_from_sequences([("bench_chr", ref.tobytes())])
+        save_index(prefix, fmd, ssa, idp, orig)
+    return load_index(prefix)
+
+
+def make_reads(index, n_reads: int):
+    """Sample reads with aDNA-style damage: C->T near 5', elevated near ends."""
+    from mapad_tpu.map.record import Record
+    from mapad_tpu.utils.seq import revcomp
+
+    rng = np.random.default_rng(7)
+    contig = index.meta["contigs"][0]
+    glen = contig["end"] - contig["start"] + 1
+    # reconstruct genome from the sampled SA text is costly; sample from bwt?
+    # Instead: regenerate with the same seed used in get_genome_index.
+    gen_rng = np.random.default_rng(42)
+    genome = gen_rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=GENOME_SIZE)
+
+    reads = []
+    starts = rng.integers(0, glen - READ_LEN, size=n_reads)
+    for i in range(n_reads):
+        seq = bytearray(genome[starts[i] : starts[i] + READ_LEN].tobytes())
+        # deamination: C->T with decaying probability from 5' end
+        for pos in range(READ_LEN):
+            p = 0.4 * (0.55 ** pos) + 0.4 * (0.55 ** (READ_LEN - 1 - pos)) + 0.005
+            if seq[pos] == ord("C") and rng.random() < p:
+                seq[pos] = ord("T")
+            elif rng.random() < 0.002:  # sequencing error
+                seq[pos] = ord("ACGT"[int(rng.integers(0, 4))])
+        if rng.random() < 0.5:
+            seq = bytearray(revcomp(seq))
+        reads.append(Record(sequence=bytes(seq), base_qualities=bytes([40] * READ_LEN)))
+    return reads
+
+
+def main():
+    from mapad_tpu.map import AlignmentParameters
+    from mapad_tpu.models import Discrete, SimpleAncientDnaModel
+    from mapad_tpu.ops.engine import DeviceSearchEngine
+    from mapad_tpu.ops.search import SearchConfig
+
+    index = get_genome_index()
+    dm = SimpleAncientDnaModel(
+        ("single_stranded", 0.6, 0.55), 0.01, 1.0,
+        np.float32(0.02) / np.float32(3.0), False,
+    )
+    repr_mm = dm.get_representative_mismatch_penalty()
+    params = AlignmentParameters(
+        difference_model=dm, mismatch_bound=Discrete(0.03, 0.02, repr_mm),
+        penalty_gap_open=repr_mm * np.float32(1.5),
+        penalty_gap_extend=repr_mm * np.float32(0.5),
+        chunk_size=N_READS, gap_dist_ends=5, stack_limit_abort=False,
+        max_num_gaps_open=2,
+    )
+    config = SearchConfig(max_len=128, hit_cap=24, compute_forward_part=False)
+    engine = DeviceSearchEngine(index.fmd, params, lanes=LANES, config=config)
+
+    reads = make_reads(index, N_READS)
+
+    # Warmup (compile)
+    engine.search_chunk(reads[:LANES])
+
+    t0 = time.perf_counter()
+    results = engine.search_chunk(reads)
+    elapsed = time.perf_counter() - t0
+
+    n_mapped = sum(1 for hits, _ in results if hits)
+    rps = len(reads) / elapsed
+    sys.stderr.write(
+        f"# {len(reads)} reads in {elapsed:.2f}s, {n_mapped} mapped, "
+        f"escalated={engine._stats['escalated']}\n"
+    )
+    print(json.dumps({
+        "metric": "reads_per_second",
+        "value": round(rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

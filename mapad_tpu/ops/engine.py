@@ -4,9 +4,12 @@ Drop-in replacement for map.pipeline.OracleSearchEngine.  Per chunk:
 1. host: pad reads to the lane grid, build f32-exact score LUTs / Bi-D
    penalty elements / bound thresholds (numpy, same op order as reference)
 2. device: one jitted `k_mismatch_search_batch` call over all lanes
-3. host: walk the returned edit arenas to rebuild per-hit edit operation
-   tracks; lanes flagged `escalate` (stack eviction, arena overflow, step
-   budget) are re-run on the exact host oracle.
+3. host: decode the device-walked hit op-word chains into edit tracks
+
+Escalation tiers: reads whose lanes exhaust the step budget (or hit slots)
+re-run with a larger-budget device config; anything still flagged falls back
+to the exact host oracle.  Every tier produces oracle-identical hit sets for
+its non-escalated lanes.
 """
 
 from __future__ import annotations
@@ -15,16 +18,22 @@ import logging
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
+from ..index.fmd import BiInterval
 from ..map import EditOperation, HitInterval
 from ..map.oracle import k_mismatch_search as oracle_search
-from ..index.fmd import BiInterval
-from ..models.bounds import Continuous, Discrete, TestBound
+from ..models.bounds import Continuous, TestBound
 from ..utils.seq import BASE_TO_CODE, CODE_TO_BASE
 from .fm import DeviceFmIndex
-from .search import SearchConfig, SearchParams, SearchResult, k_mismatch_search_batch
+from .search import (
+    OP_DELETION,
+    OP_MISMATCH,
+    SearchConfig,
+    SearchParams,
+    SearchResult,
+    k_mismatch_search_batch,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -32,10 +41,23 @@ _RANK_TABLE = np.zeros(256, dtype=np.int32)
 for _i, _c in enumerate(b"ACGT"):
     _RANK_TABLE[_c] = _i + 1
 
+DEFAULT_TIERS = (2048, 16384)
+
+
+class _Empty:
+    sequence = b""
+    base_qualities = b""
+
+
+_EMPTY = _Empty()
+
 
 class DeviceSearchEngine:
-    def __init__(self, fmd_index, parameters, lanes: int = 512,
-                 config: SearchConfig | None = None):
+    def __init__(self, fmd_index, parameters, lanes: int = 2048,
+                 config: SearchConfig | None = None,
+                 tiers: tuple = DEFAULT_TIERS):
+        import jax.numpy as jnp
+
         self.fmd = fmd_index
         self.parameters = parameters
         self.lanes = lanes
@@ -45,11 +67,15 @@ class DeviceSearchEngine:
         if config is None:
             config = SearchConfig(compute_forward_part=not self._is_backward_only)
         self.config = config
-        self._stats = {"device_lanes": 0, "escalated": 0, "batches": 0}
+        self.tiers = tiers
+        self._stats = {"device_lanes": 0, "escalated": 0, "oracle": 0, "batches": 0}
+        self._params_cache = None
 
     # --- host-side per-read preparation (exact f32 paths) ---
 
     def _prepare(self, records, max_len: int):
+        import jax.numpy as jnp
+
         L = self.lanes
         sdm = self.parameters.difference_model
         mb = self.parameters.mismatch_bound
@@ -111,37 +137,41 @@ class DeviceSearchEngine:
         )
 
     def _params(self) -> SearchParams:
-        p = self.parameters
-        return SearchParams(
-            pgo_pge=jnp.float32(
-                np.float32(p.penalty_gap_open + p.penalty_gap_extend)
-            ),
-            pge=jnp.float32(p.penalty_gap_extend),
-            gap_dist_ends=jnp.int32(p.gap_dist_ends),
-            max_gaps=jnp.int32(p.max_num_gaps_open),
-            stack_limit_abort=jnp.bool_(p.stack_limit_abort),
-        )
+        import jax.numpy as jnp
 
-    # --- hit reconstruction ---
+        if self._params_cache is None:
+            p = self.parameters
+            self._params_cache = SearchParams(
+                pgo_pge=jnp.float32(
+                    np.float32(p.penalty_gap_open + p.penalty_gap_extend)
+                ),
+                pge=jnp.float32(p.penalty_gap_extend),
+                gap_dist_ends=jnp.int32(p.gap_dist_ends),
+                max_gaps=jnp.int32(p.max_num_gaps_open),
+                stack_limit_abort=jnp.bool_(p.stack_limit_abort),
+            )
+        return self._params_cache
 
-    def _extract_hits(self, result: SearchResult, lane: int, split: int):
-        """Rebuild ordered edit tracks from the device arena (host, numpy)."""
+    # --- hit reconstruction from device-walked op chains ---
+
+    def _extract_hits(self, result, lane: int, split: int):
         hcount = int(result.hcount[lane])
-        parents = result.a_parent[lane]
-        kinds = result.a_kind[lane]
-        poss = result.a_pos[lane]
-        bases = result.a_base[lane]
         hits = []
         for h in range(hcount):
-            node = int(result.h_node[lane, h])
-            # ancestors (inclusive, root exclusive), then bucket by position
+            words = result.h_ops[lane, h]
             buckets: dict[int, list] = {}
-            while node != 0:
-                kind = int(kinds[node])
-                pos = int(poss[node])
-                base = int(CODE_TO_BASE[int(bases[node])]) if kind in (1, 3) else 0
+            for w in words:
+                w = int(w)
+                if w == 0:
+                    break
+                kind = (w >> 17) & 7
+                pos = (w >> 2) & 0x7FFF
+                base = (
+                    int(CODE_TO_BASE[w & 3])
+                    if kind in (OP_MISMATCH, OP_DELETION)
+                    else 0
+                )
                 buckets.setdefault(pos, []).append(EditOperation(kind, pos, base))
-                node = int(parents[node])
             track = []
             for pos in sorted(buckets):
                 ops = buckets[pos]
@@ -165,27 +195,53 @@ class DeviceSearchEngine:
     # --- public API ---
 
     def search_chunk(self, records):
-        out = []
+        out = [None] * len(records)
         params = self._params()
-        for base in range(0, len(records), self.lanes):
-            batch = records[base : base + self.lanes]
-            out.extend(self._search_batch(batch, params))
+
+        pending = list(range(len(records)))
+        for tier_i, max_steps in enumerate(self.tiers):
+            if not pending:
+                break
+            config = self.config._replace(max_steps=max_steps)
+            still_pending = []
+            for base in range(0, len(pending), self.lanes):
+                idxs = pending[base : base + self.lanes]
+                batch = [records[i] for i in idxs]
+                results, escalated = self._search_batch(batch, params, config)
+                for k, i in enumerate(idxs):
+                    if k in escalated:
+                        still_pending.append(i)
+                    else:
+                        out[i] = results[k]
+            pending = still_pending
+            if still_pending:
+                self._stats["escalated"] += 0  # counted on final fallback
+
+        # final fallback: exact host oracle
+        for i in pending:
+            t1 = time.perf_counter()
+            hits = oracle_search(
+                records[i].sequence, records[i].base_qualities,
+                self.parameters, self.fmd,
+            )
+            out[i] = (hits, time.perf_counter() - t1)
+            self._stats["oracle"] += 1
         return out
 
-    def _search_batch(self, batch, params):
+    def _search_batch(self, batch, params, config):
         t0 = time.perf_counter()
-        max_len = self.config.max_len
-        overlong = [i for i, r in enumerate(batch) if len(r.sequence) > max_len]
+        max_len = config.max_len
+        overlong = {
+            i for i, r in enumerate(batch) if len(r.sequence) > max_len
+        }
         prep = self._prepare(
             [r if len(r.sequence) <= max_len else _EMPTY for r in batch], max_len
         )
-        result = jax.block_until_ready(
-            k_mismatch_search_batch(
-                self.device_index, prep["pattern_rank"], prep["pattern_code"],
-                prep["n"], prep["score_lut"], prep["pen"], prep["split"],
-                prep["cutoff_scale"], prep["cutoff_thresh"], prep["repr_mm"],
-                params, self.config,
-            )
+        result = k_mismatch_search_batch(
+            self.device_index, prep["pattern_rank"], prep["pattern_code"],
+            prep["n"], prep["score_lut"], prep["pen"], prep["split"],
+            prep["cutoff_scale"], prep["cutoff_thresh"], prep["repr_mm"],
+            params, config,
         )
         result = jax.tree.map(np.asarray, result)
         elapsed = time.perf_counter() - t0
@@ -193,31 +249,21 @@ class DeviceSearchEngine:
 
         escalate = result.escalate
         split_arr = np.asarray(prep["split"])
-        out = []
-        n_escalated = 0
+        results = []
+        escalated = set()
         for i, record in enumerate(batch):
             if i in overlong or (len(record.sequence) > 0 and escalate[i]):
-                t1 = time.perf_counter()
-                hits = oracle_search(
-                    record.sequence, record.base_qualities, self.parameters,
-                    self.fmd,
-                )
-                out.append((hits, time.perf_counter() - t1))
-                n_escalated += 1
+                escalated.add(i)
+                results.append(None)
             else:
                 hits = self._extract_hits(result, i, int(split_arr[i]))
-                out.append((hits, per_read))
+                results.append((hits, per_read))
         self._stats["device_lanes"] += len(batch)
-        self._stats["escalated"] += n_escalated
+        self._stats["escalated"] += len(escalated)
         self._stats["batches"] += 1
-        if n_escalated:
-            logger.debug("escalated %d/%d reads to host oracle", n_escalated, len(batch))
-        return out
-
-
-class _Empty:
-    sequence = b""
-    base_qualities = b""
-
-
-_EMPTY = _Empty()
+        if escalated:
+            logger.debug(
+                "escalating %d/%d reads to the next tier", len(escalated),
+                len(batch),
+            )
+        return results, escalated

@@ -1,18 +1,29 @@
 """Batched k-mismatch search on device (JAX/XLA).
 
 The TPU-native core: reference mapping.rs:1012-1383 re-designed as a
-lock-step batched best-first search.  Each lane (read) owns a fixed-capacity
-frame arena in SoA device arrays; every step pops each lane's best frame
-(score-max, LIFO among ties, matching the host oracle), runs one shared
-4-symbol FM extension sweep, and pushes up to 9 children (1 insertion,
-4 deletions, 4 match/mismatch) under the same bound checks, Bi-D lookahead
-pruning and early-stop rules as the reference.
+lock-step batched best-first search.  TPU-first data layout decisions:
 
-Capacity semantics: the reference evicts worst frames past STACK_LIMIT=2e6;
-here the per-lane stack capacity C is far smaller, so any eviction (or edit
-arena overflow, or step-budget exhaustion) flags the lane for escalation:
-the pipeline re-runs flagged lanes on the exact host oracle.  Lanes without
-flags produce byte-identical hit sets to the oracle.
+- **Append-only frame store.**  Each step pushes its <=9 candidate frames at
+  slot base `step * 9` -- a dynamic-update-slice at a scalar offset shared by
+  all lanes, avoiding per-lane scatters entirely (TPU scatters serialize).
+  Popped frames are invalidated by masking their score to -inf; slots never
+  recycle, so the frame store itself IS the edit-operation tree (each entry
+  carries its parent slot and edit op) and the reference's separate slab
+  arena (backtrack_tree.rs) disappears.
+- **Pop = dense reduction.**  Best-first pop is a score max + LIFO tie
+  argmax over the store (slot index equals insertion order), then one row
+  gather of the packed frame.
+- **Shared 4-symbol occ sweep.**  One gathered BWT block row per interval
+  end answers all four symbol ranks (fmd_index.rs:108-182 semantics).
+- **On-device hit-chain walk.**  After the search loop, hit edit-operation
+  chains are walked on device into dense (L, H, M+pad) op-word tracks, so
+  only O(hits) data returns to the host.
+
+Capacity semantics: the step budget doubles as the frame-store capacity.
+Lanes still running at the budget (or overflowing hit slots) are flagged
+`escalate`; the engine re-runs them with a larger budget or on the exact
+host oracle.  Non-escalated lanes produce hit sets byte-identical to the
+oracle (tests/test_device_search.py).
 """
 
 from __future__ import annotations
@@ -33,24 +44,44 @@ NEG_INF = np.float32(-np.inf)
 GAP_CLOSED, GAP_INSERTION, GAP_DELETION = 0, 1, 2
 OP_MATCH, OP_MISMATCH, OP_INSERTION, OP_DELETION = 0, 1, 2, 3
 
+# packed frame layout in the store's trailing axis
+F_LOWER, F_LREV, F_SIZE, F_PARENT, F_STARTLEN, F_GAPS, F_OP = range(7)
+NF = 7
+CANDS = 9  # 1 insertion + 4 x (deletion, match/mismatch)
+
+
+OP_VALID_BIT = 1 << 20  # distinguishes real op words from chain terminators
+
+
+def pack_op(kind, pos, base):
+    return OP_VALID_BIT | (kind << 17) | (pos << 2) | base
+
+
+def unpack_op_kind(word):
+    return word >> 17
+
+
+def unpack_op_pos(word):
+    return (word >> 2) & 0x7FFF
+
+
+def unpack_op_base(word):
+    return word & 3
+
 
 class SearchConfig(NamedTuple):
     max_len: int = 128  # M: padded read length
-    stack_cap: int = 2048  # C: frames per lane
-    arena_cap: int = 8192  # E: edit-tree nodes per lane
+    max_steps: int = 2048  # S: step budget == frame-store rows / CANDS
     hit_cap: int = 24  # H: hit slots per lane
-    max_steps: int = 20000
     compute_forward_part: bool = False  # center-start models need both halves
 
 
 class SearchParams(NamedTuple):
-    """Per-batch scalar parameters (f32/i32 on device)."""
-
     pgo_pge: jax.Array  # f32: penalty_gap_open + penalty_gap_extend
     pge: jax.Array  # f32: penalty_gap_extend
     gap_dist_ends: jax.Array  # i32
     max_gaps: jax.Array  # i32
-    stack_limit_abort: jax.Array  # bool
+    stack_limit_abort: jax.Array  # bool (escalation covers abort semantics)
 
 
 class SearchResult(NamedTuple):
@@ -58,34 +89,31 @@ class SearchResult(NamedTuple):
     h_lower: jax.Array  # (L, H) i32
     h_lrev: jax.Array  # (L, H) i32
     h_size: jax.Array  # (L, H) i32
-    h_node: jax.Array  # (L, H) i32
     hcount: jax.Array  # (L,) i32
-    a_parent: jax.Array  # (L, E) i32
-    a_kind: jax.Array  # (L, E) i32
-    a_pos: jax.Array  # (L, E) i32
-    a_base: jax.Array  # (L, E) i32 (0..3 ref base code)
-    acount: jax.Array  # (L,) i32
-    escalate: jax.Array  # (L,) bool: rerun on host oracle for exactness
+    h_ops: jax.Array  # (L, H, MW) i32 op words, 0-terminated chains
+    escalate: jax.Array  # (L,) bool
     steps: jax.Array  # () i32
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def k_mismatch_search_batch(
     index: DeviceFmIndex,
-    pattern_rank,  # (L, M) i32: ranks 1..4, 0 = non-ACGT
-    pattern_code,  # (L, M) i32: 0..3, 4 = non-ACGT
-    n,  # (L,) i32 read lengths
-    score_lut,  # (L, M, 4) f32: S[j,b] = model(b -> read[j]) - optimal[j]
+    pattern_rank,  # (L, M) i32 ranks 1..4, 0 = non-ACGT
+    pattern_code,  # (L, M) i32 0..3, 4 = non-ACGT
+    n,  # (L,) i32
+    score_lut,  # (L, M, 4) f32
     pen,  # (L, M) f32 Bi-D penalty elements
-    split,  # (L,) i32 alignment start
-    cutoff_scale,  # (L,) f32  (reject: v / scale < thresh)
+    split,  # (L,) i32
+    cutoff_scale,  # (L,) f32
     cutoff_thresh,  # (L,) f32
     repr_mm,  # (L,) f32 (-inf disables reject_iterative)
     params: SearchParams,
     config: SearchConfig,
 ) -> SearchResult:
     L, M = pattern_rank.shape
-    C, E, H = config.stack_cap, config.arena_cap, config.hit_cap
+    S = config.max_steps
+    SLOTS = S * CANDS + 1  # slot 0 is the root
+    H = config.hit_cap
     lanes = jnp.arange(L, dtype=jnp.int32)
     i32 = jnp.int32
 
@@ -94,87 +122,58 @@ def k_mismatch_search_batch(
         compute_forward_part=config.compute_forward_part,
     )
 
-    # --- initial state ---
-    st_score = jnp.full((L, C), NEG_INF, jnp.float32).at[:, 0].set(0.0)
-    st_valid = jnp.zeros((L, C), jnp.bool_).at[:, 0].set(True)
-    st_counter = jnp.zeros((L, C), i32)
-    st_lower = jnp.zeros((L, C), i32)
-    st_lrev = jnp.zeros((L, C), i32)
-    st_size = jnp.zeros((L, C), i32).at[:, 0].set(index.text_len)
-    st_start = jnp.zeros((L, C), i32).at[:, 0].set(split)
-    st_len = jnp.zeros((L, C), i32)
-    st_gapb = jnp.zeros((L, C), i32)
-    st_gapf = jnp.zeros((L, C), i32)
-    st_ngaps = jnp.zeros((L, C), i32)
-    st_node = jnp.zeros((L, C), i32)
-
-    a_parent = jnp.zeros((L, E), i32)
-    a_kind = jnp.zeros((L, E), i32)
-    a_pos = jnp.zeros((L, E), i32)
-    a_base = jnp.zeros((L, E), i32)
-    acount = jnp.ones((L,), i32)  # node 0 is the root
+    # frame store: scores separate (dense reductions), packed ints gathered
+    st_score = jnp.full((L, SLOTS), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+    st_pack = jnp.zeros((L, SLOTS, NF), i32)
+    st_pack = st_pack.at[:, 0, F_SIZE].set(index.text_len)
+    st_pack = st_pack.at[:, 0, F_STARTLEN].set(split << 16)
 
     h_score = jnp.full((L, H), NEG_INF, jnp.float32)
-    h_lower = jnp.zeros((L, H), i32)
-    h_lrev = jnp.zeros((L, H), i32)
-    h_size = jnp.zeros((L, H), i32)
-    h_node = jnp.zeros((L, H), i32)
+    h_pack = jnp.zeros((L, H, 6), i32)  # lower, lrev, size, parent, op, pad
     hcount = jnp.zeros((L,), i32)
 
     done = n <= 0
     escalate = jnp.zeros((L,), jnp.bool_)
     best_score = jnp.full((L,), NEG_INF, jnp.float32)
     best_size = jnp.zeros((L,), i32)
-    push_ctr = jnp.ones((L,), i32)
+
+    slot_iota = jax.lax.broadcasted_iota(i32, (L, SLOTS), 1)
 
     def reject(v):
         return (v / cutoff_scale) < cutoff_thresh
 
-    def reject_iterative(v):
-        # no hit yet -> best_score = -inf -> comparison false
-        return v < best_score + repr_mm
-
-    state = (
-        st_score, st_valid, st_counter, st_lower, st_lrev, st_size, st_start,
-        st_len, st_gapb, st_gapf, st_ngaps, st_node,
-        a_parent, a_kind, a_pos, a_base, acount,
-        h_score, h_lower, h_lrev, h_size, h_node, hcount,
-        done, escalate, best_score, best_size, push_ctr, jnp.int32(0),
-    )
+    state = (st_score, st_pack, h_score, h_pack, hcount, done, escalate,
+             best_score, best_size, jnp.int32(0))
 
     def cond(state):
-        done = state[23]
-        step = state[28]
-        return jnp.logical_and(step < config.max_steps, ~jnp.all(done))
+        done, step = state[5], state[9]
+        return jnp.logical_and(step < S, ~jnp.all(done))
 
     def body(state):
-        (st_score, st_valid, st_counter, st_lower, st_lrev, st_size, st_start,
-         st_len, st_gapb, st_gapf, st_ngaps, st_node,
-         a_parent, a_kind, a_pos, a_base, acount,
-         h_score, h_lower, h_lrev, h_size, h_node, hcount,
-         done, escalate, best_score, best_size, push_ctr, step) = state
+        (st_score, st_pack, h_score, h_pack, hcount, done, escalate,
+         best_score, best_size, step) = state
 
-        nonempty = jnp.any(st_valid, axis=1)
+        # --- pop best frame: score max, highest slot (LIFO) among ties ---
+        m = jnp.max(st_score, axis=1)
+        nonempty = m > NEG_INF
         done = done | ~nonempty
         active = ~done
-
-        # --- pop max (score, LIFO counter among ties) ---
-        key = jnp.where(st_valid, st_score, NEG_INF)
-        m = jnp.max(key, axis=1)
-        tie = jnp.where(st_valid & (key == m[:, None]), st_counter, -1)
-        sel = jnp.argmax(tie, axis=1).astype(i32)
-        sel_eff = jnp.where(active, sel, C)  # drop for inactive
-        f_score = st_score[lanes, sel]
-        f_lower = st_lower[lanes, sel]
-        f_lrev = st_lrev[lanes, sel]
-        f_size = st_size[lanes, sel]
-        f_start = st_start[lanes, sel]
-        f_len = st_len[lanes, sel]
-        f_gapb = st_gapb[lanes, sel]
-        f_gapf = st_gapf[lanes, sel]
-        f_ngaps = st_ngaps[lanes, sel]
-        f_node = st_node[lanes, sel]
-        st_valid = st_valid.at[lanes, sel_eff].set(False, mode="drop")
+        tie = jnp.where(st_score == m[:, None], slot_iota, -1)
+        sel = jnp.max(tie, axis=1)
+        st_score = jnp.where(
+            (slot_iota == sel[:, None]) & active[:, None], NEG_INF, st_score
+        )
+        frame = st_pack[lanes, sel]  # (L, NF) row gather
+        f_score = m
+        f_lower = frame[:, F_LOWER]
+        f_lrev = frame[:, F_LREV]
+        f_size = frame[:, F_SIZE]
+        f_start = frame[:, F_STARTLEN] >> 16
+        f_len = frame[:, F_STARTLEN] & 0xFFFF
+        gaps = frame[:, F_GAPS]
+        f_gapb = gaps & 3
+        f_gapf = (gaps >> 2) & 3
+        f_ngaps = (gaps >> 4) & 0xFF
 
         # --- direction (mapping.rs:1077-1097) ---
         fwd = f_start <= n - f_start - f_len
@@ -198,172 +197,199 @@ def k_mismatch_search_batch(
         j_c = jnp.clip(j, 0, M - 1)
         Sj = score_lut[lanes, j_c]  # (L, 4)
         pat_j = pattern_code[lanes, j_c]
-
         lb = bi_d_get(bid, split, n, d_k, d_l)
 
         # best-first global stop (mapping.rs:1201-1208)
-        stop = reject_iterative((f_score + lb).astype(jnp.float32))
+        stop = (f_score + lb).astype(jnp.float32) < best_score + repr_mm
         done = done | (active & stop)
         still = active & ~stop
 
-        # --- extension sweep (shared occ state) ---
+        # --- extension sweep ---
         ch_lower, ch_lrev, ch_size = extend_batch(index, ext_lower, ext_lrev, f_size)
-        # un-swap children for forward extension
         out_lower = jnp.where(fwd[:, None], ch_lrev, ch_lower)
         out_lrev = jnp.where(fwd[:, None], ch_lower, ch_lrev)
-        out_size = ch_size
 
-        # gap placement constraints
         ins_allowed = jnp.minimum(j, n - j - 1) >= params.gap_dist_ends
         d5 = jnp.where(fwd, j, j + 1)
         del_allowed = jnp.minimum(d5, n - d5) >= params.gap_dist_ends
+        next_start = jnp.where(fwd, f_start, f_start - 1)
+        del_rej = reject((del_score + lb).astype(jnp.float32))
+        ins_rej = reject((ins_score + lb).astype(jnp.float32))
 
-        next_start_consume = jnp.where(fwd, f_start, f_start - 1)
+        # --- build the 9 candidates (order: ins, then (del, mm) per slot) ---
+        c_ok, c_score = [], []
+        c_lower, c_lrev, c_size = [], [], []
+        c_startlen, c_gaps, c_op = [], [], []
 
-        carry = (st_score, st_valid, st_counter, st_lower, st_lrev, st_size,
-                 st_start, st_len, st_gapb, st_gapf, st_ngaps, st_node,
-                 a_parent, a_kind, a_pos, a_base, acount,
-                 h_score, h_lower, h_lrev, h_size, h_node, hcount,
-                 best_score, best_size, push_ctr, escalate)
-
-        def check_and_push(carry, cond_, score, lower, lrev, size, start,
-                           length, gapb, gapf, ngaps, op_kind, op_base):
-            (st_score, st_valid, st_counter, st_lower, st_lrev, st_size,
-             st_start, st_len, st_gapb, st_gapf, st_ngaps, st_node,
-             a_parent, a_kind, a_pos, a_base, acount,
-             h_score, h_lower, h_lrev, h_size, h_node, hcount,
-             best_score, best_size, push_ctr, escalate) = carry
-
-            # reference mapping.rs:932-987
-            ok = cond_ & ~(score < best_score + repr_mm)
-            ok = ok & (ngaps <= params.max_gaps)
-
-            # edit tree node
-            node = jnp.minimum(acount, E - 1)
-            a_idx = jnp.where(ok, node, E)
-            a_parent = a_parent.at[lanes, a_idx].set(f_node, mode="drop")
-            a_kind = a_kind.at[lanes, a_idx].set(op_kind, mode="drop")
-            a_pos = a_pos.at[lanes, a_idx].set(j, mode="drop")
-            a_base = a_base.at[lanes, a_idx].set(op_base, mode="drop")
-            escalate = escalate | (ok & (acount >= E - 1))
-            acount = acount + ok.astype(i32)
-
-            comp = ok & (length == n)
-            h_idx = jnp.where(comp & (hcount < H), hcount, H)
-            h_score = h_score.at[lanes, h_idx].set(score, mode="drop")
-            h_lower = h_lower.at[lanes, h_idx].set(lower, mode="drop")
-            h_lrev = h_lrev.at[lanes, h_idx].set(lrev, mode="drop")
-            h_size = h_size.at[lanes, h_idx].set(size, mode="drop")
-            h_node = h_node.at[lanes, h_idx].set(node, mode="drop")
-            escalate = escalate | (comp & (hcount >= H))
-            hcount = hcount + comp.astype(i32)
-            upd = comp & (score > best_score)
-            best_size = jnp.where(upd, size, best_size)
-            best_score = jnp.where(upd, score, best_score)
-
-            push = ok & ~comp
-            free = ~st_valid
-            has_free = jnp.any(free, axis=1)
-            free_slot = jnp.argmax(free, axis=1).astype(i32)
-            evict_slot = jnp.argmin(
-                jnp.where(st_valid, st_score, jnp.float32(np.inf)), axis=1
-            ).astype(i32)
-            slot = jnp.where(has_free, free_slot, evict_slot)
-            escalate = escalate | (push & ~has_free)
-            s_idx = jnp.where(push, slot, C)
-            st_score = st_score.at[lanes, s_idx].set(score, mode="drop")
-            st_valid = st_valid.at[lanes, s_idx].set(True, mode="drop")
-            st_counter = st_counter.at[lanes, s_idx].set(push_ctr, mode="drop")
-            st_lower = st_lower.at[lanes, s_idx].set(lower, mode="drop")
-            st_lrev = st_lrev.at[lanes, s_idx].set(lrev, mode="drop")
-            st_size = st_size.at[lanes, s_idx].set(size, mode="drop")
-            st_start = st_start.at[lanes, s_idx].set(start, mode="drop")
-            st_len = st_len.at[lanes, s_idx].set(length, mode="drop")
-            st_gapb = st_gapb.at[lanes, s_idx].set(gapb, mode="drop")
-            st_gapf = st_gapf.at[lanes, s_idx].set(gapf, mode="drop")
-            st_ngaps = st_ngaps.at[lanes, s_idx].set(ngaps, mode="drop")
-            st_node = st_node.at[lanes, s_idx].set(node, mode="drop")
-            push_ctr = push_ctr + push.astype(i32)
-
-            return (st_score, st_valid, st_counter, st_lower, st_lrev, st_size,
-                    st_start, st_len, st_gapb, st_gapf, st_ngaps, st_node,
-                    a_parent, a_kind, a_pos, a_base, acount,
-                    h_score, h_lower, h_lrev, h_size, h_node, hcount,
-                    best_score, best_size, push_ctr, escalate)
+        def gaps_word(gb, gf, ng):
+            return gb | (gf << 2) | (ng << 4)
 
         # 1) insertion (mapping.rs:1213-1242)
-        ins_cond = still & ~reject((ins_score + lb).astype(jnp.float32)) & ins_allowed
-        carry = check_and_push(
-            carry, ins_cond, ins_score, f_lower, f_lrev, f_size,
-            next_start_consume, f_len + 1,
-            jnp.where(fwd, f_gapb, GAP_INSERTION),
-            jnp.where(fwd, GAP_INSERTION, f_gapf),
-            ngaps_inc, OP_INSERTION, jnp.zeros((L,), i32),
+        ok = still & ~ins_rej & ins_allowed & (ngaps_inc <= params.max_gaps)
+        c_ok.append(ok)
+        c_score.append(ins_score)
+        c_lower.append(f_lower)
+        c_lrev.append(f_lrev)
+        c_size.append(f_size)
+        c_startlen.append((next_start << 16) | (f_len + 1))
+        c_gaps.append(
+            gaps_word(
+                jnp.where(fwd, f_gapb, GAP_INSERTION),
+                jnp.where(fwd, GAP_INSERTION, f_gapf),
+                ngaps_inc,
+            )
         )
+        c_op.append(pack_op(OP_INSERTION, j_c, 0))
 
-        # 2) per sweep slot: deletion then match/mismatch
-        del_rej = reject((del_score + lb).astype(jnp.float32))
         for slot in range(4):
-            c_lower = out_lower[:, slot]
-            c_lrev = out_lrev[:, slot]
-            c_size = out_size[:, slot]
-            nonzero = c_size >= 1
-            # reported ref base code: fwd -> slot, bwd -> 3 - slot
+            s_lower = out_lower[:, slot]
+            s_lrev = out_lrev[:, slot]
+            s_size = ch_size[:, slot]
+            nonzero = s_size >= 1
             code = jnp.where(fwd, slot, 3 - slot)
             mm_score = (Sj[lanes, code] + f_score).astype(jnp.float32)
 
-            del_cond = still & nonzero & ~del_rej & del_allowed
-            carry = check_and_push(
-                carry, del_cond, del_score, c_lower, c_lrev, c_size,
-                f_start, f_len,
-                jnp.where(fwd, f_gapb, GAP_DELETION),
-                jnp.where(fwd, GAP_DELETION, f_gapf),
-                ngaps_inc, OP_DELETION, code,
+            # deletion
+            ok = (
+                still & nonzero & ~del_rej & del_allowed
+                & (ngaps_inc <= params.max_gaps)
             )
-
-            mm_cond = still & nonzero & ~reject((mm_score + lb).astype(jnp.float32))
-            is_match = code == pat_j
-            carry = check_and_push(
-                carry, mm_cond, mm_score, c_lower, c_lrev, c_size,
-                next_start_consume, f_len + 1,
-                jnp.where(fwd, f_gapb, GAP_CLOSED),
-                jnp.where(fwd, GAP_CLOSED, f_gapf),
-                f_ngaps,
-                jnp.where(is_match, OP_MATCH, OP_MISMATCH), code,
+            c_ok.append(ok)
+            c_score.append(del_score)
+            c_lower.append(s_lower)
+            c_lrev.append(s_lrev)
+            c_size.append(s_size)
+            c_startlen.append((f_start << 16) | f_len)
+            c_gaps.append(
+                gaps_word(
+                    jnp.where(fwd, f_gapb, GAP_DELETION),
+                    jnp.where(fwd, GAP_DELETION, f_gapf),
+                    ngaps_inc,
+                )
             )
+            c_op.append(pack_op(OP_DELETION, j_c, code))
 
-        (st_score, st_valid, st_counter, st_lower, st_lrev, st_size, st_start,
-         st_len, st_gapb, st_gapf, st_ngaps, st_node,
-         a_parent, a_kind, a_pos, a_base, acount,
-         h_score, h_lower, h_lrev, h_size, h_node, hcount,
-         best_score, best_size, push_ctr, escalate) = carry
+            # match / mismatch
+            ok = still & nonzero & ~reject((mm_score + lb).astype(jnp.float32))
+            kind = jnp.where(code == pat_j, OP_MATCH, OP_MISMATCH)
+            c_ok.append(ok)
+            c_score.append(mm_score)
+            c_lower.append(s_lower)
+            c_lrev.append(s_lrev)
+            c_size.append(s_size)
+            c_startlen.append((next_start << 16) | (f_len + 1))
+            c_gaps.append(
+                gaps_word(
+                    jnp.where(fwd, f_gapb, GAP_CLOSED),
+                    jnp.where(fwd, GAP_CLOSED, f_gapf),
+                    f_ngaps,
+                )
+            )
+            c_op.append(pack_op(kind, j_c, code))
+
+        score9 = jnp.stack(c_score, axis=1)
+        size9 = jnp.stack(c_size, axis=1)
+        len9 = jnp.stack(c_startlen, axis=1) & 0xFFFF
+        # reject_iterative at push time (mapping.rs:956-963): the reference
+        # pushes candidates sequentially, so later candidates see the best
+        # hit updated by earlier completions of the SAME step.
+        ok_cols, comp_cols = [], []
+        run_best, run_size = best_score, best_size
+        for k in range(CANDS):
+            ok_k = c_ok[k] & ~(score9[:, k] < run_best + repr_mm)
+            comp_k = ok_k & (len9[:, k] == n)
+            upd = comp_k & (score9[:, k] > run_best)
+            run_size = jnp.where(upd, size9[:, k], run_size)
+            run_best = jnp.where(upd, score9[:, k], run_best)
+            ok_cols.append(ok_k)
+            comp_cols.append(comp_k)
+        best_score, best_size = run_best, run_size
+        ok9 = jnp.stack(ok_cols, axis=1)
+        comp9 = jnp.stack(comp_cols, axis=1)
+        push9 = ok9 & ~comp9
+
+        # --- write pushed frames: DUS at shared scalar offset step*9+1 ---
+        pack9 = jnp.stack(
+            [
+                jnp.stack(c_lower, axis=1),
+                jnp.stack(c_lrev, axis=1),
+                jnp.stack(c_size, axis=1),
+                jnp.broadcast_to(sel[:, None], (L, CANDS)),
+                jnp.stack(c_startlen, axis=1),
+                jnp.stack(c_gaps, axis=1),
+                jnp.stack(c_op, axis=1),
+            ],
+            axis=2,
+        )  # (L, 9, NF)
+        base_slot = step * CANDS + 1
+        st_pack = jax.lax.dynamic_update_slice(
+            st_pack, pack9, (jnp.int32(0), base_slot, jnp.int32(0))
+        )
+        st_score = jax.lax.dynamic_update_slice(
+            st_score,
+            jnp.where(push9, score9, NEG_INF),
+            (jnp.int32(0), base_slot),
+        )
+
+        # --- hits: batched scatter of step completions ---
+        comp_rank = jnp.cumsum(comp9.astype(i32), axis=1) - comp9.astype(i32)
+        h_idx = hcount[:, None] + comp_rank
+        over = comp9 & (h_idx >= H)
+        escalate = escalate | jnp.any(over, axis=1)
+        h_idx = jnp.where(comp9 & (h_idx < H), h_idx, H)
+        h_score = h_score.at[lanes[:, None], h_idx].set(score9, mode="drop")
+        hit_vals = jnp.stack(
+            [
+                pack9[:, :, F_LOWER],
+                pack9[:, :, F_LREV],
+                pack9[:, :, F_SIZE],
+                pack9[:, :, F_PARENT],
+                pack9[:, :, F_OP],
+                jnp.zeros((L, CANDS), i32),
+            ],
+            axis=2,
+        )
+        h_pack = h_pack.at[lanes[:, None], h_idx].set(hit_vals, mode="drop")
+        hcount = hcount + jnp.sum(comp9, axis=1, dtype=i32)
 
         # multi-hit / >9 hits early return (mapping.rs:1341-1355)
         done = done | (still & ((hcount > 9) | (best_size > 1)))
-        # stack_limit_abort: treat any eviction/overflow as abort-worthy; the
-        # pipeline escalates those lanes instead.
         done = done | (still & escalate)
 
-        return (st_score, st_valid, st_counter, st_lower, st_lrev, st_size,
-                st_start, st_len, st_gapb, st_gapf, st_ngaps, st_node,
-                a_parent, a_kind, a_pos, a_base, acount,
-                h_score, h_lower, h_lrev, h_size, h_node, hcount,
-                done, escalate, best_score, best_size, push_ctr, step + 1)
+        return (st_score, st_pack, h_score, h_pack, hcount, done, escalate,
+                best_score, best_size, step + 1)
 
     state = jax.lax.while_loop(cond, body, state)
-
-    (st_score, st_valid, st_counter, st_lower, st_lrev, st_size, st_start,
-     st_len, st_gapb, st_gapf, st_ngaps, st_node,
-     a_parent, a_kind, a_pos, a_base, acount,
-     h_score, h_lower, h_lrev, h_size, h_node, hcount,
-     done, escalate, best_score, best_size, push_ctr, step) = state
-
-    # lanes that ran out of step budget are escalated too
+    (st_score, st_pack, h_score, h_pack, hcount, done, escalate, best_score,
+     best_size, steps) = state
     escalate = escalate | ~done
 
+    # --- walk hit chains on device: (L*H,) parents in lockstep ---
+    MW = M + 16  # ops per chain <= read_len + max deletions + slack
+    LH = L * H
+    hit_lane = jnp.repeat(lanes, H)
+    node0 = h_pack[:, :, 3].reshape(LH)  # parent of the completing frame
+    op0 = h_pack[:, :, 4].reshape(LH)
+
+    def walk(carry, _):
+        node = carry
+        entry = st_pack[hit_lane, node]  # (LH, NF) row gather
+        word = jnp.where(node > 0, entry[:, F_OP], 0)
+        nxt = jnp.where(node > 0, entry[:, F_PARENT], 0)
+        return nxt, word
+
+    _, words = jax.lax.scan(walk, node0, None, length=MW - 1)
+    h_ops = jnp.concatenate(
+        [op0[None, :], words], axis=0
+    ).T.reshape(L, H, MW)
+
     return SearchResult(
-        h_score=h_score, h_lower=h_lower, h_lrev=h_lrev, h_size=h_size,
-        h_node=h_node, hcount=hcount,
-        a_parent=a_parent, a_kind=a_kind, a_pos=a_pos, a_base=a_base,
-        acount=acount, escalate=escalate, steps=step,
+        h_score=h_score,
+        h_lower=h_pack[:, :, 0],
+        h_lrev=h_pack[:, :, 1],
+        h_size=h_pack[:, :, 2],
+        hcount=hcount,
+        h_ops=h_ops,
+        escalate=escalate,
+        steps=steps,
     )

@@ -25,11 +25,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+from mapad_tpu.utils.jaxcache import enable_compile_cache
+
+enable_compile_cache()
+
 BASELINE_READS_PER_SEC = 10_000.0
 GENOME_SIZE = int(os.environ.get("BENCH_GENOME", 4_000_000))
 N_READS = int(os.environ.get("BENCH_READS", 16_384))
 READ_LEN = 75
-LANES = int(os.environ.get("BENCH_LANES", 2048))
+LANES = int(os.environ.get("BENCH_LANES", 1024))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 

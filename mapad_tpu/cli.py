@@ -202,6 +202,9 @@ def main(argv=None):
         if args.engine == "device":
             from .index import load_index
             from .ops.engine import DeviceSearchEngine
+            from .utils.jaxcache import enable_compile_cache
+
+            enable_compile_cache()
 
             index = load_index(args.reference)
             engine = DeviceSearchEngine(index.fmd, params, lanes=args.lanes)

@@ -41,7 +41,7 @@ _RANK_TABLE = np.zeros(256, dtype=np.int32)
 for _i, _c in enumerate(b"ACGT"):
     _RANK_TABLE[_c] = _i + 1
 
-DEFAULT_TIERS = (2048, 16384)
+DEFAULT_TIERS = ((2048, None), (16384, 128))
 
 
 class _Empty:
@@ -73,10 +73,10 @@ class DeviceSearchEngine:
 
     # --- host-side per-read preparation (exact f32 paths) ---
 
-    def _prepare(self, records, max_len: int):
+    def _prepare(self, records, max_len: int, lanes: int | None = None):
         import jax.numpy as jnp
 
-        L = self.lanes
+        L = lanes if lanes is not None else self.lanes
         sdm = self.parameters.difference_model
         mb = self.parameters.mismatch_bound
 
@@ -199,15 +199,18 @@ class DeviceSearchEngine:
         params = self._params()
 
         pending = list(range(len(records)))
-        for tier_i, max_steps in enumerate(self.tiers):
+        for tier_i, (max_steps, tier_lanes) in enumerate(self.tiers):
             if not pending:
                 break
+            lanes = tier_lanes if tier_lanes is not None else self.lanes
             config = self.config._replace(max_steps=max_steps)
             still_pending = []
-            for base in range(0, len(pending), self.lanes):
-                idxs = pending[base : base + self.lanes]
+            for base in range(0, len(pending), lanes):
+                idxs = pending[base : base + lanes]
                 batch = [records[i] for i in idxs]
-                results, escalated = self._search_batch(batch, params, config)
+                results, escalated = self._search_batch(
+                    batch, params, config, lanes
+                )
                 for k, i in enumerate(idxs):
                     if k in escalated:
                         still_pending.append(i)
@@ -228,14 +231,15 @@ class DeviceSearchEngine:
             self._stats["oracle"] += 1
         return out
 
-    def _search_batch(self, batch, params, config):
+    def _search_batch(self, batch, params, config, lanes=None):
         t0 = time.perf_counter()
         max_len = config.max_len
         overlong = {
             i for i, r in enumerate(batch) if len(r.sequence) > max_len
         }
         prep = self._prepare(
-            [r if len(r.sequence) <= max_len else _EMPTY for r in batch], max_len
+            [r if len(r.sequence) <= max_len else _EMPTY for r in batch],
+            max_len, lanes,
         )
         result = k_mismatch_search_batch(
             self.device_index, prep["pattern_rank"], prep["pattern_code"],

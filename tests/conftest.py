@@ -10,3 +10,9 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent XLA compile cache: the search kernel compiles once, then all
+# subsequent test runs start instantly.
+from mapad_tpu.utils.jaxcache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()

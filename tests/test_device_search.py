@@ -68,9 +68,9 @@ def test_bench_reads_device_equals_oracle(bench_fixture):
         l.strip().encode()
         for l in open(os.path.join(HERE, "data", "bench_reads.txt"))
     ]
-    engine = DeviceSearchEngine(fmd, params, lanes=56)
+    engine = DeviceSearchEngine(fmd, params, lanes=56, tiers=((2048, None),))
     results = engine.search_chunk(_records(reads))
-    assert engine._stats["escalated"] == 0
+    assert engine._stats["oracle"] == 0
     for (hits, _dur), read in zip(results, reads):
         oracle_hits = oracle_search(read, [40] * len(read), params, fmd)
         assert_hits_equal(hits, oracle_hits, read[:16])
@@ -109,7 +109,7 @@ def test_random_reads_device_equals_oracle(bench_fixture):
         ln = int(rng.integers(30, 80))
         reads.append(bytes(rng.choice(bases, size=ln)))
 
-    engine = DeviceSearchEngine(fmd, params, lanes=56)
+    engine = DeviceSearchEngine(fmd, params, lanes=56, tiers=((2048, None),))
     results = engine.search_chunk(_records(reads))
     n_escalated = engine._stats["escalated"]
     assert n_escalated <= 4, n_escalated  # device handles nearly everything
@@ -130,7 +130,7 @@ def test_test_model_device_equals_oracle():
     ref = b"ACGTACGTACGTACGTGGGCCCTTTAAACCCGGGATCGATCG"
     fmd, _ = build_auxiliary_structures(ref, b"ACGT")
     reads = [b"GTTC", b"ACGTACGT", b"GGGCCC", b"TTTAAA", b"GATCGA", b"CCCGGGAT"]
-    engine = DeviceSearchEngine(fmd, params, lanes=56)
+    engine = DeviceSearchEngine(fmd, params, lanes=56, tiers=((2048, None),))
     results = engine.search_chunk(_records(reads, qual=0))
     for (hits, _), read in zip(results, reads):
         oracle_hits = oracle_search(read, [0] * len(read), params, fmd, dm, mmb)

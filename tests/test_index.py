@@ -156,3 +156,18 @@ def test_index_roundtrip(tmp_path):
     tids, rels = idx.id_pos_map.get_reference_identifier_batch([0, 10, 14], [14, 8, 3])
     assert list(tids) == [0, -1, 1]
     assert rels[0] == 0 and rels[2] == 0
+
+
+def test_native_sais_matches_numpy():
+    from mapad_tpu.index import sais_native
+
+    if not sais_native.available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(11)
+    for n in [1, 2, 100, 5000]:
+        t = rng.integers(0, 6, size=n).astype(np.uint8)
+        assert np.array_equal(
+            sais_native.suffix_array(t), suffix_array_numpy(t)
+        )

@@ -336,3 +336,12 @@ class TestDifferenceModel(SequenceDifferenceModel):
         if from_ == to:
             return self.match_score
         return self.mm_score
+
+    def get_vec(self, i, read_length, from_, to, base_quality):
+        i = np.asarray(i)
+        from_ = np.broadcast_to(np.asarray(from_), i.shape)
+        to = np.broadcast_to(np.asarray(to), i.shape)
+        out = np.full(i.shape, self.mm_score, dtype=np.float32)
+        out = np.where(from_ == to, self.match_score, out)
+        out = np.where((from_ == _C) & (to == _T), self.deam_score, out)
+        return out

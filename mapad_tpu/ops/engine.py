@@ -51,6 +51,49 @@ class _Empty:
 
 _EMPTY = _Empty()
 
+_F32_MIN = np.float32(-3.4028235e38)
+_ACGT = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _batch_luts(sdm, params, seqs, quals, n):
+    """Vectorized score LUT + Bi-D penalty elements for a whole lane grid.
+
+    Same f32 op order as the per-read builders (models/adna.py); computed on
+    (L, M) grids in one sweep so host preparation is not per-read-bound.
+    """
+    L, M = seqs.shape
+    j = np.broadcast_to(np.arange(M, dtype=np.int64), (L, M))
+    n_grid = np.broadcast_to(n[:, None].astype(np.int64), (L, M))
+    valid = j < n_grid
+    n_safe = np.maximum(n_grid, j + 1)  # keep tp_dist >= 0 on padding
+
+    raw = np.stack(
+        [
+            sdm.get_vec(j, n_safe, np.full((L, M), b, dtype=np.uint8), seqs, quals)
+            for b in _ACGT
+        ],
+        axis=2,
+    )  # (L, M, 4)
+
+    is_acgt = np.isin(seqs, _ACGT)
+    opt = np.where(is_acgt, raw.max(axis=2), np.float32(0.0)).astype(np.float32)
+    score_lut = np.float32(raw - opt[:, :, None])
+
+    # mismatch-only minimum penalties (from != to)
+    eq = seqs[:, :, None] == _ACGT[None, None, :]
+    mm_raw = np.where(eq, _F32_MIN, raw).max(axis=2)
+    mm_retval = np.float32(mm_raw - opt)
+    gaps_allowed = np.minimum(j, n_grid - j - 1) >= params.gap_dist_ends
+    pen = np.where(
+        gaps_allowed,
+        np.maximum(mm_retval, params.penalty_gap_extend),
+        mm_retval,
+    ).astype(np.float32)
+
+    score_lut = np.where(valid[:, :, None], score_lut, np.float32(0.0))
+    pen = np.where(valid, pen, np.float32(0.0)).astype(np.float32)
+    return score_lut.astype(np.float32), pen
+
 
 class DeviceSearchEngine:
     def __init__(self, fmd_index, parameters, lanes: int = 2048,
@@ -80,11 +123,9 @@ class DeviceSearchEngine:
         sdm = self.parameters.difference_model
         mb = self.parameters.mismatch_bound
 
-        pattern_rank = np.zeros((L, max_len), dtype=np.int32)
-        pattern_code = np.full((L, max_len), 4, dtype=np.int32)
+        seqs = np.zeros((L, max_len), dtype=np.uint8)
+        quals = np.zeros((L, max_len), dtype=np.uint8)
         n = np.zeros(L, dtype=np.int32)
-        score_lut = np.zeros((L, max_len, 4), dtype=np.float32)
-        pen = np.zeros((L, max_len), dtype=np.float32)
         split = np.zeros(L, dtype=np.int32)
         cutoff_scale = np.ones(L, dtype=np.float32)
         cutoff_thresh = np.full(L, np.float32(-np.inf), dtype=np.float32)
@@ -92,28 +133,15 @@ class DeviceSearchEngine:
 
         for i, record in enumerate(records):
             seq = np.frombuffer(bytes(record.sequence), dtype=np.uint8)
-            quals = np.frombuffer(bytes(record.base_qualities), dtype=np.uint8)
             ln = len(seq)
             n[i] = ln
             if ln == 0:
                 continue
-            pattern_rank[i, :ln] = _RANK_TABLE[seq]
-            pattern_code[i, :ln] = BASE_TO_CODE[seq]
+            seqs[i, :ln] = seq
+            quals[i, :ln] = np.frombuffer(
+                bytes(record.base_qualities), dtype=np.uint8
+            )
             split[i] = sdm.find_alignment_start(ln)
-            score_lut[i, :ln] = sdm.score_lut(seq, quals)
-            # Bi-D penalty elements (bi_d_array.rs:152-189)
-            best_mm = sdm.min_penalties_mm_only(seq, quals)
-            opt = sdm.optimal_penalties(seq, quals)
-            mm_retval = np.float32(best_mm - opt)
-            idx = np.arange(ln)
-            gaps_allowed = (
-                np.minimum(idx, ln - idx - 1) >= self.parameters.gap_dist_ends
-            )
-            pen[i, :ln] = np.where(
-                gaps_allowed,
-                np.maximum(mm_retval, self.parameters.penalty_gap_extend),
-                mm_retval,
-            )
             # bound encoding: reject(v) == (v / scale) < thresh
             if isinstance(mb, Continuous):
                 cutoff_scale[i] = mb._scale_read_length(ln)
@@ -123,6 +151,11 @@ class DeviceSearchEngine:
                 cutoff_thresh[i] = mb.threshold_for_length(ln)
             if not isinstance(mb, TestBound):
                 repr_mm[i] = mb.representative_mismatch_penalty
+
+        pattern_rank = np.where(n[:, None] > 0, _RANK_TABLE[seqs], 0)
+        pattern_rank[seqs == 0] = 0
+        pattern_code = BASE_TO_CODE[seqs].astype(np.int32)
+        score_lut, pen = _batch_luts(sdm, self.parameters, seqs, quals, n)
 
         return dict(
             pattern_rank=jnp.asarray(pattern_rank),

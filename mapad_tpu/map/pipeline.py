@@ -64,6 +64,9 @@ def run(
 
     logger.info("Load index")
     index = load_index(reference_path)
+    mb = alignment_parameters.mismatch_bound
+    if hasattr(mb, "__str__") and type(mb).__str__ is not object.__str__:
+        logger.debug("Allowed mismatches:\n%s", mb)
 
     if engine is None:
         engine = OracleSearchEngine(index.fmd, alignment_parameters)

@@ -14,10 +14,14 @@ builders used by the batched device pipeline:
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 
 from ..utils.f32 import F32, F32_EPSILON, F32_MIN, mul_add, powi
 from ..utils.seq import DNA_UPPERCASE_ALPHABET
+
+logger = logging.getLogger(__name__)
 
 MAX_ENCODED_BASE_QUALITY = 255
 
@@ -141,6 +145,7 @@ class SimpleAncientDnaModel(SequenceDifferenceModel):
             )
         else:
             self.cache = np.zeros(0, dtype=np.float32)
+        logger.info("%s", self)
 
     @staticmethod
     def qual2prob(encoded_base_quality: int) -> np.float32:

@@ -14,6 +14,7 @@ import sys
 import numpy as np
 
 from . import CRATE_NAME, __version__
+from .errors import MapadError
 from .map import AlignmentParameters
 
 logger = logging.getLogger(__name__)
@@ -176,6 +177,14 @@ def main(argv=None):
     logging.basicConfig(
         level=level, format="%(asctime)s %(levelname)s [%(name)s] %(message)s"
     )
+    try:
+        return _dispatch(args)
+    except MapadError as e:
+        logger.error("%s", e)
+        return 1
+
+
+def _dispatch(args):
 
     if args.command == "index":
         from .index.builder import run as index_run

@@ -41,7 +41,7 @@ _RANK_TABLE = np.zeros(256, dtype=np.int32)
 for _i, _c in enumerate(b"ACGT"):
     _RANK_TABLE[_c] = _i + 1
 
-DEFAULT_TIERS = ((2048, None), (16384, 128))
+DEFAULT_TIERS = ((512, None), (4096, 512), (32768, 64))
 
 
 class _Empty:
@@ -238,11 +238,18 @@ class DeviceSearchEngine:
             lanes = tier_lanes if tier_lanes is not None else self.lanes
             config = self.config._replace(max_steps=max_steps)
             still_pending = []
+            # Pipeline: dispatch every batch asynchronously, then fetch and
+            # extract in order; host prep/extract overlaps device compute.
+            in_flight = []
             for base in range(0, len(pending), lanes):
                 idxs = pending[base : base + lanes]
                 batch = [records[i] for i in idxs]
-                results, escalated = self._search_batch(
-                    batch, params, config, lanes
+                in_flight.append(
+                    (idxs, batch, *self._dispatch_batch(batch, params, config, lanes))
+                )
+            for idxs, batch, handle, split_arr, overlong, t0 in in_flight:
+                results, escalated = self._collect_batch(
+                    batch, handle, split_arr, overlong, t0
                 )
                 for k, i in enumerate(idxs):
                     if k in escalated:
@@ -250,8 +257,6 @@ class DeviceSearchEngine:
                     else:
                         out[i] = results[k]
             pending = still_pending
-            if still_pending:
-                self._stats["escalated"] += 0  # counted on final fallback
 
         # final fallback: exact host oracle
         for i in pending:
@@ -264,7 +269,7 @@ class DeviceSearchEngine:
             self._stats["oracle"] += 1
         return out
 
-    def _search_batch(self, batch, params, config, lanes=None):
+    def _dispatch_batch(self, batch, params, config, lanes=None):
         t0 = time.perf_counter()
         max_len = config.max_len
         overlong = {
@@ -274,18 +279,20 @@ class DeviceSearchEngine:
             [r if len(r.sequence) <= max_len else _EMPTY for r in batch],
             max_len, lanes,
         )
-        result = k_mismatch_search_batch(
+        handle = k_mismatch_search_batch(
             self.device_index, prep["pattern_rank"], prep["pattern_code"],
             prep["n"], prep["score_lut"], prep["pen"], prep["split"],
             prep["cutoff_scale"], prep["cutoff_thresh"], prep["repr_mm"],
             params, config,
         )
-        result = jax.tree.map(np.asarray, result)
+        return handle, np.asarray(prep["split"]), overlong, t0
+
+    def _collect_batch(self, batch, handle, split_arr, overlong, t0):
+        result = jax.tree.map(np.asarray, handle)  # waits for the device
         elapsed = time.perf_counter() - t0
         per_read = elapsed / max(len(batch), 1)
 
         escalate = result.escalate
-        split_arr = np.asarray(prep["split"])
         results = []
         escalated = set()
         for i, record in enumerate(batch):

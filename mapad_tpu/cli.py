@@ -94,9 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
     p_map.add_argument("-R", "--read_group", default=None,
                        help="Read group SAM header line "
                             "(e.g. '@RG\\tID:identifier1\\tSM:sample2')")
-    p_map.add_argument("--engine", choices=["device", "oracle"], default="device",
-                       help="Search engine: batched TPU (device) or "
-                            "sequential host (oracle)")
+    p_map.add_argument("--engine", choices=["device", "native", "oracle"],
+                       default="device",
+                       help="Search engine: batched TPU (device), multi-core "
+                            "host C++ (native), or sequential Python (oracle)")
     p_map.add_argument("--lanes", type=int, default=2048,
                        help="Device batch width (reads per device step)")
 
@@ -208,7 +209,16 @@ def _dispatch(args):
             return 0
 
         engine = None
-        if args.engine == "device":
+        if args.engine == "native":
+            from .index import load_index
+            from .map.native_search import NativeSearchEngine
+
+            index = load_index(args.reference)
+            engine = NativeSearchEngine(
+                index.fmd, params,
+                threads=args.num_threads if args.num_threads > 0 else None,
+            )
+        elif args.engine == "device":
             from .index import load_index
             from .ops.engine import DeviceSearchEngine
             from .utils.jaxcache import enable_compile_cache

@@ -41,7 +41,7 @@ _RANK_TABLE = np.zeros(256, dtype=np.int32)
 for _i, _c in enumerate(b"ACGT"):
     _RANK_TABLE[_c] = _i + 1
 
-DEFAULT_TIERS = ((512, None), (4096, 512), (32768, 64))
+DEFAULT_TIERS = ((2048, None), (16384, 128))
 
 
 class _Empty:
@@ -235,6 +235,8 @@ class DeviceSearchEngine:
         for tier_i, (max_steps, tier_lanes) in enumerate(self.tiers):
             if not pending:
                 break
+            tier_t0 = time.perf_counter()
+            tier_count = len(pending)
             lanes = tier_lanes if tier_lanes is not None else self.lanes
             config = self.config._replace(max_steps=max_steps)
             still_pending = []
@@ -257,17 +259,64 @@ class DeviceSearchEngine:
                     else:
                         out[i] = results[k]
             pending = still_pending
+            logger.info(
+                "tier %d (S=%d): %d reads in %.1fs, %d escalated",
+                tier_i, max_steps, tier_count,
+                time.perf_counter() - tier_t0, len(still_pending),
+            )
 
-        # final fallback: exact host oracle
+        # final fallback: native C++ searcher (exact semantics), else the
+        # Python oracle
+        if pending:
+            out = self._fallback(records, pending, out)
+        return out
+
+    def _fallback(self, records, pending, out):
+        from ..map import native_search
+
+        searcher = None
+        if native_search.available():
+            if getattr(self, "_native_searcher", None) is None:
+                self._native_searcher = native_search.NativeSearcher(self.fmd)
+            searcher = self._native_searcher
         for i in pending:
             t1 = time.perf_counter()
-            hits = oracle_search(
-                records[i].sequence, records[i].base_qualities,
-                self.parameters, self.fmd,
-            )
+            record = records[i]
+            if searcher is not None and len(record.sequence) > 0:
+                hits = self._native_search(searcher, record)
+            else:
+                hits = oracle_search(
+                    record.sequence, record.base_qualities,
+                    self.parameters, self.fmd,
+                )
             out[i] = (hits, time.perf_counter() - t1)
             self._stats["oracle"] += 1
         return out
+
+    def _native_search(self, searcher, record):
+        sdm = self.parameters.difference_model
+        mb = self.parameters.mismatch_bound
+        seq = np.frombuffer(bytes(record.sequence), dtype=np.uint8)
+        quals = np.frombuffer(bytes(record.base_qualities), dtype=np.uint8)
+        ln = len(seq)
+        seqs = seq[None, :]
+        score_lut, pen = _batch_luts(
+            sdm, self.parameters, seqs, quals[None, :],
+            np.asarray([ln], dtype=np.int32),
+        )
+        if isinstance(mb, Continuous):
+            scale, thresh = mb._scale_read_length(ln), mb.cutoff
+        else:
+            scale, thresh = np.float32(1.0), mb.threshold_for_length(ln)
+        repr_mm = (
+            np.float32(-np.inf) if isinstance(mb, TestBound)
+            else mb.representative_mismatch_penalty
+        )
+        return searcher.search(
+            _RANK_TABLE[seq].astype(np.uint8), BASE_TO_CODE[seq], ln,
+            score_lut[0], pen[0], sdm.find_alignment_start(ln),
+            scale, thresh, repr_mm, self.parameters,
+        )
 
     def _dispatch_batch(self, batch, params, config, lanes=None):
         t0 = time.perf_counter()

@@ -1,0 +1,401 @@
+// Host fallback k-mismatch searcher: exact C++ port of the sequential
+// search semantics (mapad_tpu/map/oracle.py, itself a port of reference
+// mapping.rs:1012-1383).  Used for reads whose search space exceeds the
+// device step budgets -- the deep tail that would cost seconds per read in
+// Python costs milliseconds here.
+//
+// Float discipline: all score arithmetic is IEEE binary32 with the same
+// operation order as the reference.  Build with -ffp-contract=off and no
+// -ffast-math so the compiler cannot fuse or reorder.
+//
+// Build: g++ -O2 -ffp-contract=off -shared -fPIC -o libsearcher.so searcher.cpp
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <vector>
+
+namespace {
+
+struct FmIndex {
+    const uint8_t* bwt;
+    int64_t n;
+    const int64_t* less;     // 6 entries
+    const int64_t* occ_cp;   // (nb+1) * 6, exclusive prefix
+    int64_t occ_k;
+    int64_t sent0, sent1;    // sentinel positions in the BWT
+
+    // occurrences of rank c in bwt[0..=r]
+    inline int64_t occ(int64_t r, int c) const {
+        int64_t b = r / occ_k;
+        int64_t cnt = occ_cp[b * 6 + c];
+        for (int64_t i = b * occ_k; i <= r; i++) cnt += (bwt[i] == c);
+        return cnt;
+    }
+    inline int64_t sentinel_occ(int64_t pos) const {
+        return (pos >= sent0) + (pos >= sent1);
+    }
+};
+
+struct BiInterval {
+    int64_t lower, lower_rev, size;
+};
+
+// One backward-extension sweep over ranks 4,3,2,1 (fmd_index.rs:108-182)
+static void extend_all(const FmIndex& idx, const BiInterval& iv,
+                       BiInterval out[4]) {
+    int64_t lower = iv.lower, size = iv.size;
+    int64_t o = lower == 0 ? 0 : idx.sentinel_occ(lower - 1);
+    int64_t s = idx.sentinel_occ(lower + size - 1) - o;
+    int64_t l = iv.lower_rev;
+    int slot = 0;
+    for (int c = 4; c >= 1; c--, slot++) {
+        l += s;
+        o = lower == 0 ? 0 : idx.occ(lower - 1, c);
+        s = idx.occ(lower + size - 1, c) - o;
+        out[slot] = {idx.less[c] + o, l, s};
+    }
+}
+
+static BiInterval backward_ext_rank(const FmIndex& idx, const BiInterval& iv,
+                                    int c) {
+    if (c < 1 || c > 4) return {0, 0, 0};
+    BiInterval out[4];
+    extend_all(idx, iv, out);
+    return out[4 - c];
+}
+
+static BiInterval forward_ext_rank(const FmIndex& idx, const BiInterval& iv,
+                                   int c) {
+    int comp = (c >= 1 && c <= 4) ? 5 - c : 0;
+    BiInterval sw = {iv.lower_rev, iv.lower, iv.size};
+    BiInterval r = backward_ext_rank(idx, sw, comp);
+    return {r.lower_rev, r.lower, r.size};
+}
+
+constexpr float F32_MIN = -3.4028235e38f;
+
+// Bi-D array (bi_d_array.rs): 15 offset walks per half, running-max window
+static void compute_bi_d(const FmIndex& idx, const uint8_t* rank, int32_t n,
+                         int32_t split, const float* pen,
+                         std::vector<float>& composite) {
+    constexpr int MAX_OFFSET = 15;
+    composite.assign(n, 0.0f);
+    BiInterval init = {0, 0, idx.n};
+
+    // part 1: pattern[:split], forward extension, walk index == abs index
+    for (int part = 0; part < 2; part++) {
+        int32_t plen = part == 0 ? split : n - split;
+        if (plen <= 0) continue;
+        std::vector<float> dmin(plen, 0.0f);
+        for (int off = 0; off < MAX_OFFSET; off++) {
+            BiInterval iv = init;
+            float z = 0.0f, rm = F32_MIN;
+            // out[i] = 0 for i <= off else z after step i-1
+            for (int32_t i = 0; i < plen; i++) {
+                if (i > off) {
+                    // value after processing walk step i-1 accrued below
+                }
+                int32_t step = i;  // we process step i and record for i+1
+                if (step >= off && step < plen) {
+                    int c;
+                    int32_t abs_idx;
+                    if (part == 0) {
+                        abs_idx = step;
+                        c = rank[abs_idx];
+                        iv = forward_ext_rank(idx, iv, c);
+                    } else {
+                        abs_idx = n - 1 - step;
+                        c = rank[abs_idx];
+                        iv = backward_ext_rank(idx, iv, c);
+                    }
+                    rm = std::max(rm, pen[abs_idx]);
+                    if (iv.size < 1) {
+                        z = z + rm;  // f32 add
+                        iv = init;
+                        rm = F32_MIN;
+                    }
+                }
+                // emitted value for output index i+1 is z (post-step)
+                if (step + 1 < plen) {
+                    float v = (step + 1 <= off) ? 0.0f : z;
+                    dmin[step + 1] = std::min(dmin[step + 1], v);
+                }
+            }
+        }
+        for (int32_t i = 0; i < plen; i++)
+            composite[(part == 0 ? 0 : split) + i] = dmin[i];
+    }
+}
+
+static inline float bi_d_get(const std::vector<float>& comp, int32_t split,
+                             int32_t n, int32_t bk, int32_t fwd) {
+    float d_rev = (bk >= 0 && bk < n) ? comp[bk] : 0.0f;
+    int32_t t = n - (1 + fwd);
+    float d_fwd = 0.0f;
+    if (t >= 0) {
+        int32_t ci = t + split;
+        if (ci < n) d_fwd = comp[ci];
+    }
+    return d_rev + d_fwd;
+}
+
+constexpr int OP_MATCH = 0, OP_MISMATCH = 1, OP_INSERTION = 2, OP_DELETION = 3;
+constexpr int GAP_CLOSED = 0, GAP_INS = 1, GAP_DEL = 2;
+constexpr uint32_t OP_VALID_BIT = 1u << 20;
+
+struct Frame {
+    BiInterval iv;
+    int32_t start, len;
+    int8_t gap_b, gap_f;
+    int8_t ngaps;
+    float score;
+    int32_t node;
+    int64_t counter;  // LIFO tie-break
+};
+
+struct HeapCmp {
+    // max-heap by (score, counter): ties pop the latest push (LIFO)
+    bool operator()(const Frame& a, const Frame& b) const {
+        if (a.score != b.score) return a.score < b.score;
+        return a.counter < b.counter;
+    }
+};
+
+struct SearchCtx {
+    const FmIndex* idx;
+    const uint8_t* rank;
+    const uint8_t* code;
+    int32_t n;
+    const float* slut;  // n*4
+    int32_t split;
+    float cutoff_scale, cutoff_thresh;
+    float repr_mm;  // -inf disables reject_iterative
+    float pgo_pge, pge;
+    int32_t gap_dist_ends, max_gaps;
+    int stack_limit_abort;
+    int64_t stack_limit, tree_limit;
+
+    inline bool reject(float v) const { return (v / cutoff_scale) < cutoff_thresh; }
+};
+
+struct Hit {
+    BiInterval iv;
+    float score;
+    std::vector<uint32_t> ops;  // packed op words, self-first ancestor order
+};
+
+}  // namespace
+
+extern "C" {
+
+// Search one read; returns the number of hits (capped at max_hits).
+// ops_out layout: per hit, (n + 16) uint32 op words, 0-terminated.
+int search_read(
+    const uint8_t* bwt, int64_t bwt_len, const int64_t* less,
+    const int64_t* occ_cp, int64_t occ_k, const int64_t* sentinels,
+    const uint8_t* pattern_rank, const uint8_t* pattern_code, int32_t n,
+    const float* score_lut, const float* pen, int32_t split,
+    float cutoff_scale, float cutoff_thresh, float repr_mm,
+    float pgo_pge, float pge, int32_t gap_dist_ends, int32_t max_gaps,
+    int stack_limit_abort, int64_t stack_limit, int64_t tree_limit,
+    int32_t max_hits, float* hit_scores, int64_t* hit_ivals /* max_hits*3 */,
+    uint32_t* ops_out) {
+    FmIndex idx{bwt, bwt_len, less, occ_cp, occ_k, sentinels[0], sentinels[1]};
+    SearchCtx ctx{&idx,  pattern_rank, pattern_code, n,
+                  score_lut, split, cutoff_scale, cutoff_thresh, repr_mm,
+                  pgo_pge, pge, gap_dist_ends, max_gaps, stack_limit_abort,
+                  stack_limit, tree_limit};
+
+    std::vector<float> bid;
+    compute_bi_d(idx, pattern_rank, n, split, pen, bid);
+
+    // edit tree arena: node 0 = root
+    std::vector<uint32_t> tree_op(1, 0);
+    std::vector<int32_t> tree_parent(1, 0);
+    std::vector<int32_t> tree_free;
+    auto tree_add = [&](uint32_t op, int32_t parent) -> int32_t {
+        if (!tree_free.empty()) {
+            int32_t id = tree_free.back();
+            tree_free.pop_back();
+            tree_op[id] = op;
+            tree_parent[id] = parent;
+            return id;
+        }
+        tree_op.push_back(op);
+        tree_parent.push_back(parent);
+        return (int32_t)tree_op.size() - 1;
+    };
+    auto tree_len = [&]() {
+        return (int64_t)tree_op.size() - (int64_t)tree_free.size();
+    };
+
+    std::vector<Hit> hits;
+    float best_score = -std::numeric_limits<float>::infinity();
+    int64_t best_size = 0;
+    bool has_hit = false;
+
+    std::vector<Frame> heap;
+    HeapCmp cmp;
+    int64_t counter = 0;
+
+    auto reject_iterative = [&](float v) {
+        return has_hit && v < best_score + ctx.repr_mm;
+    };
+
+    auto check_and_push = [&](Frame f, uint32_t op) {
+        if (reject_iterative(f.score)) return;
+        if (f.ngaps > ctx.max_gaps) return;
+        f.node = tree_add(op, f.node);
+        if (f.len == n) {
+            Hit h;
+            h.iv = f.iv;
+            h.score = f.score;
+            for (int32_t nd = f.node; nd != 0; nd = tree_parent[nd])
+                h.ops.push_back(tree_op[nd]);
+            hits.push_back(std::move(h));
+            if (!has_hit || f.score > best_score) {
+                best_score = f.score;
+                best_size = f.iv.size;
+            }
+            has_hit = true;
+            return;
+        }
+        f.counter = counter++;
+        heap.push_back(f);
+        std::push_heap(heap.begin(), heap.end(), cmp);
+    };
+
+    {
+        Frame root{{0, 0, idx.n}, split, 0, GAP_CLOSED, GAP_CLOSED, 0, 0.0f, 0, 0};
+        root.counter = counter++;
+        heap.push_back(root);
+    }
+
+    while (!heap.empty()) {
+        std::pop_heap(heap.begin(), heap.end(), cmp);
+        Frame f = heap.back();
+        heap.pop_back();
+
+        bool fwd = f.start <= n - f.start - f.len;
+        int32_t j, d_k, d_l;
+        BiInterval ext;
+        int8_t gap_state;
+        if (fwd) {
+            j = f.start + f.len;
+            d_k = f.start;
+            d_l = f.start + f.len;
+            ext = {f.iv.lower_rev, f.iv.lower, f.iv.size};
+            gap_state = f.gap_f;
+        } else {
+            j = f.start - 1;
+            d_k = f.start - 1;
+            d_l = f.start + f.len - 1;
+            ext = f.iv;
+            gap_state = f.gap_b;
+        }
+
+        float ins_score = (gap_state == GAP_INS ? ctx.pge : ctx.pgo_pge) + f.score;
+        float del_score = (gap_state == GAP_DEL ? ctx.pge : ctx.pgo_pge) + f.score;
+        int8_t ngaps_inc = gap_state == GAP_CLOSED ? f.ngaps + 1 : f.ngaps;
+
+        float lb = bi_d_get(bid, split, n, d_k, d_l);
+
+        if (reject_iterative(f.score + lb)) break;
+
+        BiInterval children[4];
+        extend_all(idx, ext, children);
+
+        // insertion
+        if (!ctx.reject(ins_score + lb) &&
+            std::min(j, n - j - 1) >= ctx.gap_dist_ends) {
+            Frame nf = f;
+            nf.start = fwd ? f.start : f.start - 1;
+            nf.len = f.len + 1;
+            nf.gap_b = fwd ? f.gap_b : GAP_INS;
+            nf.gap_f = fwd ? GAP_INS : f.gap_f;
+            nf.ngaps = ngaps_inc;
+            nf.score = ins_score;
+            check_and_push(nf, OP_VALID_BIT | (OP_INSERTION << 17) | ((uint32_t)j << 2));
+        }
+
+        int32_t d5 = fwd ? j : j + 1;
+        bool del_allowed = std::min(d5, n - d5) >= ctx.gap_dist_ends;
+        bool del_rej = ctx.reject(del_score + lb);
+
+        for (int slot = 0; slot < 4; slot++) {
+            BiInterval child = children[slot];
+            if (child.size < 1) continue;
+            if (fwd) child = {child.lower_rev, child.lower, child.size};
+            int code = fwd ? slot : 3 - slot;
+            float mm_score = ctx.slut[j * 4 + code] + f.score;
+
+            if (!del_rej && del_allowed) {
+                Frame nf = f;
+                nf.iv = child;
+                nf.gap_b = fwd ? f.gap_b : GAP_DEL;
+                nf.gap_f = fwd ? GAP_DEL : f.gap_f;
+                nf.ngaps = ngaps_inc;
+                nf.score = del_score;
+                check_and_push(
+                    nf, OP_VALID_BIT | (OP_DELETION << 17) | ((uint32_t)j << 2) | code);
+            }
+
+            if (!ctx.reject(mm_score + lb)) {
+                Frame nf = f;
+                nf.iv = child;
+                nf.start = fwd ? f.start : f.start - 1;
+                nf.len = f.len + 1;
+                nf.gap_b = fwd ? f.gap_b : GAP_CLOSED;
+                nf.gap_f = fwd ? GAP_CLOSED : f.gap_f;
+                nf.score = mm_score;
+                int kind = (code == ctx.code[j]) ? OP_MATCH : OP_MISMATCH;
+                check_and_push(
+                    nf, OP_VALID_BIT | ((uint32_t)kind << 17) | ((uint32_t)j << 2) | code);
+            }
+        }
+
+        if ((int64_t)hits.size() > 9 || (has_hit && best_size > 1)) break;
+
+        if ((int64_t)heap.size() > ctx.stack_limit || tree_len() > ctx.tree_limit) {
+            if (ctx.stack_limit_abort) break;
+            int64_t excess = std::max((int64_t)heap.size() - ctx.stack_limit,
+                                      tree_len() - ctx.tree_limit);
+            for (int64_t k = 0; k < excess && !heap.empty(); k++) {
+                // pop_min: linear scan for min (score, counter) -- rare
+                // recovery path (matches the Python oracle's pop_min)
+                size_t mi = 0;
+                for (size_t i2 = 1; i2 < heap.size(); i2++) {
+                    const Frame &a = heap[i2], &b = heap[mi];
+                    if (a.score < b.score ||
+                        (a.score == b.score && a.counter < b.counter))
+                        mi = i2;
+                }
+                tree_free.push_back(heap[mi].node);
+                heap[mi] = heap.back();
+                heap.pop_back();
+                std::make_heap(heap.begin(), heap.end(), cmp);
+            }
+        }
+    }
+
+    // emit hits (completion order preserved)
+    int32_t n_out = std::min((int32_t)hits.size(), max_hits);
+    int32_t stride = n + 16;
+    for (int32_t h = 0; h < n_out; h++) {
+        hit_scores[h] = hits[h].score;
+        hit_ivals[h * 3 + 0] = hits[h].iv.lower;
+        hit_ivals[h * 3 + 1] = hits[h].iv.lower_rev;
+        hit_ivals[h * 3 + 2] = hits[h].iv.size;
+        int32_t k = 0;
+        for (uint32_t w : hits[h].ops) {
+            if (k >= stride - 1) break;
+            ops_out[h * stride + k++] = w;
+        }
+        ops_out[h * stride + k] = 0;
+    }
+    return (int32_t)hits.size();
+}
+}

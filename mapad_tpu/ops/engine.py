@@ -41,7 +41,7 @@ _RANK_TABLE = np.zeros(256, dtype=np.int32)
 for _i, _c in enumerate(b"ACGT"):
     _RANK_TABLE[_c] = _i + 1
 
-DEFAULT_TIERS = ((2048, None), (16384, 128))
+DEFAULT_TIERS = ((2048, None),)
 
 
 class _Empty:
@@ -272,6 +272,9 @@ class DeviceSearchEngine:
         return out
 
     def _fallback(self, records, pending, out):
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
         from ..map import native_search
 
         searcher = None
@@ -279,7 +282,8 @@ class DeviceSearchEngine:
             if getattr(self, "_native_searcher", None) is None:
                 self._native_searcher = native_search.NativeSearcher(self.fmd)
             searcher = self._native_searcher
-        for i in pending:
+
+        def one(i):
             t1 = time.perf_counter()
             record = records[i]
             if searcher is not None and len(record.sequence) > 0:
@@ -289,8 +293,14 @@ class DeviceSearchEngine:
                     record.sequence, record.base_qualities,
                     self.parameters, self.fmd,
                 )
-            out[i] = (hits, time.perf_counter() - t1)
-            self._stats["oracle"] += 1
+            return i, (hits, time.perf_counter() - t1)
+
+        # ctypes releases the GIL during search_read: real thread parallelism
+        workers = max(1, (os.cpu_count() or 2) - 1)
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            for i, result in pool.map(one, pending):
+                out[i] = result
+        self._stats["oracle"] += len(pending)
         return out
 
     def _native_search(self, searcher, record):

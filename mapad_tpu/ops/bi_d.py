@@ -115,19 +115,19 @@ def compute_bi_d(index: DeviceFmIndex, pattern_rank, pen, n, split,
 
 
 def bi_d_get(composite, split, n, backward_index, forward_index):
-    """Batched BiDArray::get (bi_d_array.rs:200-224). All args (L,)."""
+    """Batched BiDArray::get (bi_d_array.rs:200-224). All args (L,).
+
+    Both lookups ride one gather of (L, 2) elements."""
     L, M = composite.shape
     lanes = jnp.arange(L, dtype=jnp.int32)
     bk = jnp.clip(backward_index, 0, M - 1)
-    d_rev = jnp.where(
-        (backward_index >= 0) & (backward_index < n),
-        composite[lanes, bk],
-        jnp.float32(0.0),
-    )
     t = n - (1 + forward_index)
     ci = t + split
     ci_c = jnp.clip(ci, 0, M - 1)
-    d_fwd = jnp.where(
-        (t >= 0) & (ci < n), composite[lanes, ci_c], jnp.float32(0.0)
+    vals = composite[lanes[:, None], jnp.stack([bk, ci_c], axis=1)]  # (L, 2)
+    d_rev = jnp.where(
+        (backward_index >= 0) & (backward_index < n), vals[:, 0],
+        jnp.float32(0.0),
     )
+    d_fwd = jnp.where((t >= 0) & (ci < n), vals[:, 1], jnp.float32(0.0))
     return (d_rev + d_fwd).astype(jnp.float32)

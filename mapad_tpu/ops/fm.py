@@ -4,14 +4,12 @@ Device counterpart of mapad_tpu.index.fmd (reference src/map/fmd_index.rs),
 re-designed for batch execution: instead of one rank query at a time, whole
 lanes of bidirectional intervals are extended per step.
 
-Layout:
-- `bwt_blocks`: (n_blocks, K) uint8 BWT symbol ranks, padded with 255.
-- `occ_cp`: (n_blocks + 1, A) int32 exclusive-prefix checkpoint counts.
-- rank(r, c) = occ_cp[r // K, c] + popcount(bwt_blocks[r // K, : r % K + 1] == c)
-
-A single gathered block row answers the rank query for all four DNA symbols
-at once, which matches the reference's shared 4-symbol extension sweep
-(fmd_index.rs:108-182) and keeps HBM traffic at 2 block rows per frame.
+Layout: one fused int32 row per BWT block --
+  row[0:6]   exclusive-prefix occ checkpoint counts for ranks 0..5
+  row[6:6+K/4] BWT symbol ranks packed 4-per-int32 (little-endian)
+so a single gathered row answers the rank query for all four DNA symbols at
+once (the reference's shared 4-symbol sweep, fmd_index.rs:108-182), at one
+HBM row read per interval end.
 """
 
 from __future__ import annotations
@@ -26,24 +24,45 @@ import numpy as np
 class DeviceFmIndex(NamedTuple):
     """FMD-index arrays resident on device."""
 
-    bwt_blocks: jax.Array  # (nb, K) uint8
-    occ_cp: jax.Array  # (nb + 1, A) int32
+    rows: jax.Array  # (nb, 6 + K//4) int32 fused occ+bwt rows
     less: jax.Array  # (A,) int32
     sentinels: jax.Array  # (2,) int32
     occ_k: int  # static
     text_len: int  # static
 
     @classmethod
-    def from_host(cls, fmd) -> "DeviceFmIndex":
-        """Build from a host FmdIndex (mapad_tpu.index.fmd.FmdIndex)."""
-        k = fmd.occ_k
+    def from_host(cls, fmd, occ_k: int | None = None) -> "DeviceFmIndex":
+        """Build from a host FmdIndex (mapad_tpu.index.fmd.FmdIndex).
+
+        The device block size is independent of the on-disk checkpoint
+        spacing; checkpoints are rebuilt here at a device-friendly k.
+        """
+        from ..index.fmd import compute_occ_checkpoints
+
+        k = occ_k or (fmd.occ_k if fmd.occ_k % 4 == 0 else 64)
         n = len(fmd.bwt)
         nb = (n + k - 1) // k
+        bwt = np.asarray(fmd.bwt, dtype=np.uint8)
         padded = np.full(nb * k, 255, dtype=np.uint8)
-        padded[:n] = np.asarray(fmd.bwt, dtype=np.uint8)
+        padded[:n] = bwt
+        packed = padded.reshape(nb, k // 4, 4).astype(np.int32)
+        packed = (
+            packed[:, :, 0]
+            | (packed[:, :, 1] << 8)
+            | (packed[:, :, 2] << 16)
+            | (packed[:, :, 3] << 24)
+        )
+        if k == fmd.occ_k:
+            cp = np.asarray(fmd.occ_cp, dtype=np.int64)
+        else:
+            alphabet_size = len(fmd.rank_transform)
+            cp = compute_occ_checkpoints(bwt, k, alphabet_size)
+        cp = cp[:nb]
+        if cp.shape[1] < 6:
+            cp = np.pad(cp, ((0, 0), (0, 6 - cp.shape[1])))
+        rows = np.concatenate([cp[:, :6].astype(np.int32), packed], axis=1)
         return cls(
-            bwt_blocks=jnp.asarray(padded.reshape(nb, k)),
-            occ_cp=jnp.asarray(np.asarray(fmd.occ_cp, dtype=np.int64), dtype=jnp.int32),
+            rows=jnp.asarray(rows),
             less=jnp.asarray(np.asarray(fmd.less, dtype=np.int64), dtype=jnp.int32),
             sentinels=jnp.asarray(
                 np.asarray(fmd.sentinel_occ, dtype=np.int64), dtype=jnp.int32
@@ -53,29 +72,34 @@ class DeviceFmIndex(NamedTuple):
         )
 
 
-def occ4_batch(index: DeviceFmIndex, r: jax.Array) -> jax.Array:
-    """(L,) positions -> (L, 4) counts of ranks 1..4 in bwt[0..=r].
-
-    r may be -1 (returns zeros).  Gathers one block row per lane.
-    """
+def _row_occ4(index: DeviceFmIndex, r: jax.Array) -> jax.Array:
+    """(L,) positions -> (L, 4) counts of ranks 1..4 in bwt[0..=r] (-1 -> 0)."""
     k = index.occ_k
     r_safe = jnp.maximum(r, 0)
     blk = r_safe // k
     off = r_safe % k
-    rows = index.bwt_blocks[blk]  # (L, K) gather of rows
-    pos = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+    rows = index.rows[blk]  # (L, 6 + K//4) single gather
+    cp = rows[:, 1:5]  # checkpoint counts for ranks 1..4
+    words = rows[:, 6:]  # (L, K//4)
+    # unpack bytes: (L, K//4, 4) -> (L, K)
+    shifts = jnp.asarray([0, 8, 16, 24], dtype=jnp.int32)
+    symbols = ((words[:, :, None] >> shifts[None, None, :]) & 0xFF).reshape(
+        rows.shape[0], -1
+    )
+    pos = jax.lax.broadcasted_iota(jnp.int32, symbols.shape, 1)
     in_prefix = pos <= off[:, None]
-    # counts for ranks 1..4 from the same gathered row
     counts = jnp.stack(
         [
-            jnp.sum((rows == c) & in_prefix, axis=1, dtype=jnp.int32)
+            jnp.sum((symbols == c) & in_prefix, axis=1, dtype=jnp.int32)
             for c in (1, 2, 3, 4)
         ],
         axis=1,
     )
-    cp = index.occ_cp[blk]  # (L, A)
-    counts = counts + cp[:, 1:5]
-    return jnp.where(r[:, None] >= 0, counts, 0)
+    return jnp.where(r[:, None] >= 0, counts + cp, 0)
+
+
+def occ4_batch(index: DeviceFmIndex, r: jax.Array) -> jax.Array:
+    return _row_occ4(index, r)
 
 
 def sentinel_count(index: DeviceFmIndex, r: jax.Array) -> jax.Array:
@@ -94,8 +118,8 @@ def extend_batch(index: DeviceFmIndex, lower, lower_rev, size):
     """
     r1 = lower - 1
     r2 = lower + size - 1
-    occ1 = occ4_batch(index, jnp.where(lower == 0, -1, r1))  # (L, 4) ranks 1..4
-    occ2 = occ4_batch(index, r2)
+    occ1 = _row_occ4(index, jnp.where(lower == 0, -1, r1))  # (L, 4) ranks 1..4
+    occ2 = _row_occ4(index, r2)
     sent1 = jnp.where(lower == 0, 0, sentinel_count(index, r1))
     sent2 = sentinel_count(index, r2)
 

@@ -45,12 +45,13 @@ GAP_CLOSED, GAP_INSERTION, GAP_DELETION = 0, 1, 2
 OP_MATCH, OP_MISMATCH, OP_INSERTION, OP_DELETION = 0, 1, 2, 3
 
 # packed frame layout in the store's trailing axis
-F_LOWER, F_LREV, F_SIZE, F_PARENT, F_STARTLEN, F_GAPS, F_OP = range(7)
-NF = 7
+F_LOWER, F_LREV, F_SIZE, F_PARENT, F_STARTLEN, F_GAPS, F_OP, F_SCOREBITS = range(8)
+NF = 8
 CANDS = 9  # 1 insertion + 4 x (deletion, match/mismatch)
 
 
 OP_VALID_BIT = 1 << 20  # distinguishes real op words from chain terminators
+OP_COMP_BIT = 1 << 21  # marks store entries that completed as hits
 
 
 def pack_op(kind, pos, base):
@@ -112,24 +113,37 @@ def k_mismatch_search_batch(
 ) -> SearchResult:
     L, M = pattern_rank.shape
     S = config.max_steps
-    SLOTS = S * CANDS + 1  # slot 0 is the root
+    SLOTS = S * CANDS + 1
+    ROOT = SLOTS - 1  # the store grows DOWNWARD from the root so that
+    # jnp.argmax's first-occurrence tie rule lands on the latest push (LIFO)
     H = config.hit_cap
     lanes = jnp.arange(L, dtype=jnp.int32)
     i32 = jnp.int32
+    INT_MIN = jnp.int32(-2147483648)
+
+    def mono(f):
+        # monotonic int32 key of an f32 (self-inverse transform)
+        u = jax.lax.bitcast_convert_type(f, i32)
+        return u ^ ((u >> 31) & 0x7FFFFFFF)
+
+    def mono_inv(k):
+        return jax.lax.bitcast_convert_type(k ^ ((k >> 31) & 0x7FFFFFFF),
+                                            jnp.float32)
 
     bid = compute_bi_d(
         index, pattern_rank, pen, n, split,
         compute_forward_part=config.compute_forward_part,
     )
 
-    # frame store: scores separate (dense reductions), packed ints gathered
-    st_score = jnp.full((L, SLOTS), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+    # frame store: monotonic int32 score keys (single-pass pop reductions),
+    # packed ints gathered per pop
+    st_mono = jnp.full((L, SLOTS), INT_MIN, i32).at[:, ROOT].set(
+        mono(jnp.float32(0.0))
+    )
     st_pack = jnp.zeros((L, SLOTS, NF), i32)
-    st_pack = st_pack.at[:, 0, F_SIZE].set(index.text_len)
-    st_pack = st_pack.at[:, 0, F_STARTLEN].set(split << 16)
+    st_pack = st_pack.at[:, ROOT, F_SIZE].set(index.text_len)
+    st_pack = st_pack.at[:, ROOT, F_STARTLEN].set(split << 16)
 
-    h_score = jnp.full((L, H), NEG_INF, jnp.float32)
-    h_pack = jnp.zeros((L, H, 6), i32)  # lower, lrev, size, parent, op, pad
     hcount = jnp.zeros((L,), i32)
 
     done = n <= 0
@@ -142,29 +156,28 @@ def k_mismatch_search_batch(
     def reject(v):
         return (v / cutoff_scale) < cutoff_thresh
 
-    state = (st_score, st_pack, h_score, h_pack, hcount, done, escalate,
+    state = (st_mono, st_pack, hcount, done, escalate,
              best_score, best_size, jnp.int32(0))
 
     def cond(state):
-        done, step = state[5], state[9]
+        done, step = state[3], state[7]
         return jnp.logical_and(step < S, ~jnp.all(done))
 
     def body(state):
-        (st_score, st_pack, h_score, h_pack, hcount, done, escalate,
+        (st_mono, st_pack, hcount, done, escalate,
          best_score, best_size, step) = state
 
-        # --- pop best frame: score max, highest slot (LIFO) among ties ---
-        m = jnp.max(st_score, axis=1)
-        nonempty = m > NEG_INF
+        # --- pop best frame: one argmax; first occurrence == latest push ---
+        sel = jnp.argmax(st_mono, axis=1).astype(i32)
+        f_mono = jnp.max(st_mono, axis=1)
+        nonempty = f_mono > INT_MIN
         done = done | ~nonempty
         active = ~done
-        tie = jnp.where(st_score == m[:, None], slot_iota, -1)
-        sel = jnp.max(tie, axis=1)
-        st_score = jnp.where(
-            (slot_iota == sel[:, None]) & active[:, None], NEG_INF, st_score
+        st_mono = jnp.where(
+            (slot_iota == sel[:, None]) & active[:, None], INT_MIN, st_mono
         )
         frame = st_pack[lanes, sel]  # (L, NF) row gather
-        f_score = m
+        f_score = mono_inv(f_mono)
         f_lower = frame[:, F_LOWER]
         f_lrev = frame[:, F_LREV]
         f_size = frame[:, F_SIZE]
@@ -308,7 +321,9 @@ def k_mismatch_search_batch(
         comp9 = jnp.stack(comp_cols, axis=1)
         push9 = ok9 & ~comp9
 
-        # --- write pushed frames: DUS at shared scalar offset step*9+1 ---
+        # --- write frames: DUS at a shared scalar offset, candidate order
+        # reversed so lower slot index == later push (LIFO argmax).  The
+        # store is also the hit log: completions carry OP_COMP_BIT ---
         pack9 = jnp.stack(
             [
                 jnp.stack(c_lower, axis=1),
@@ -317,65 +332,65 @@ def k_mismatch_search_batch(
                 jnp.broadcast_to(sel[:, None], (L, CANDS)),
                 jnp.stack(c_startlen, axis=1),
                 jnp.stack(c_gaps, axis=1),
-                jnp.stack(c_op, axis=1),
+                jnp.stack(c_op, axis=1)
+                | jnp.where(comp9, OP_COMP_BIT, 0).astype(i32),
+                jax.lax.bitcast_convert_type(score9, i32),
             ],
             axis=2,
         )  # (L, 9, NF)
-        base_slot = step * CANDS + 1
+        base_slot = ROOT - (step + 1) * CANDS
         st_pack = jax.lax.dynamic_update_slice(
-            st_pack, pack9, (jnp.int32(0), base_slot, jnp.int32(0))
+            st_pack, pack9[:, ::-1, :], (jnp.int32(0), base_slot, jnp.int32(0))
         )
-        st_score = jax.lax.dynamic_update_slice(
-            st_score,
-            jnp.where(push9, score9, NEG_INF),
+        st_mono = jax.lax.dynamic_update_slice(
+            st_mono,
+            jnp.where(push9, mono(score9), INT_MIN)[:, ::-1],
             (jnp.int32(0), base_slot),
         )
 
-        # --- hits: batched scatter of step completions ---
-        comp_rank = jnp.cumsum(comp9.astype(i32), axis=1) - comp9.astype(i32)
-        h_idx = hcount[:, None] + comp_rank
-        over = comp9 & (h_idx >= H)
-        escalate = escalate | jnp.any(over, axis=1)
-        h_idx = jnp.where(comp9 & (h_idx < H), h_idx, H)
-        h_score = h_score.at[lanes[:, None], h_idx].set(score9, mode="drop")
-        hit_vals = jnp.stack(
-            [
-                pack9[:, :, F_LOWER],
-                pack9[:, :, F_LREV],
-                pack9[:, :, F_SIZE],
-                pack9[:, :, F_PARENT],
-                pack9[:, :, F_OP],
-                jnp.zeros((L, CANDS), i32),
-            ],
-            axis=2,
-        )
-        h_pack = h_pack.at[lanes[:, None], h_idx].set(hit_vals, mode="drop")
         hcount = hcount + jnp.sum(comp9, axis=1, dtype=i32)
 
         # multi-hit / >9 hits early return (mapping.rs:1341-1355)
         done = done | (still & ((hcount > 9) | (best_size > 1)))
         done = done | (still & escalate)
 
-        return (st_score, st_pack, h_score, h_pack, hcount, done, escalate,
+        return (st_mono, st_pack, hcount, done, escalate,
                 best_score, best_size, step + 1)
 
     state = jax.lax.while_loop(cond, body, state)
-    (st_score, st_pack, h_score, h_pack, hcount, done, escalate, best_score,
-     best_size, steps) = state
+    (st_mono, st_pack, hcount, done, escalate, best_score, best_size,
+     steps) = state
     escalate = escalate | ~done
+
+    # --- collect hits from the store: COMP-marked slots, highest slot ==
+    # earliest completion (store grows downward) ---
+    comp_mask = (st_pack[:, :, F_OP] & OP_COMP_BIT) != 0
+    hit_key = jnp.where(comp_mask, slot_iota, -1)
+    hit_slots, _ = jax.lax.top_k(hit_key, H)  # (L, H) descending
+    hit_slots = jnp.maximum(hit_slots, 0)
+    hit_rows = st_pack[lanes[:, None], hit_slots]  # (L, H, NF)
+    valid_hit = jnp.arange(H)[None, :] < hcount[:, None]
+    h_score = jnp.where(
+        valid_hit,
+        jax.lax.bitcast_convert_type(hit_rows[:, :, F_SCOREBITS], jnp.float32),
+        NEG_INF,
+    )
 
     # --- walk hit chains on device: (L*H,) parents in lockstep ---
     MW = M + 16  # ops per chain <= read_len + max deletions + slack
     LH = L * H
     hit_lane = jnp.repeat(lanes, H)
-    node0 = h_pack[:, :, 3].reshape(LH)  # parent of the completing frame
-    op0 = h_pack[:, :, 4].reshape(LH)
+    node0 = jnp.where(
+        valid_hit, hit_rows[:, :, F_PARENT], ROOT
+    ).reshape(LH)
+    op0 = jnp.where(valid_hit, hit_rows[:, :, F_OP], 0).reshape(LH)
 
     def walk(carry, _):
         node = carry
         entry = st_pack[hit_lane, node]  # (LH, NF) row gather
-        word = jnp.where(node > 0, entry[:, F_OP], 0)
-        nxt = jnp.where(node > 0, entry[:, F_PARENT], 0)
+        at_root = node == ROOT
+        word = jnp.where(at_root, 0, entry[:, F_OP])
+        nxt = jnp.where(at_root, ROOT, entry[:, F_PARENT])
         return nxt, word
 
     _, words = jax.lax.scan(walk, node0, None, length=MW - 1)
@@ -383,11 +398,12 @@ def k_mismatch_search_batch(
         [op0[None, :], words], axis=0
     ).T.reshape(L, H, MW)
 
+    zero_h = jnp.zeros((L, H), i32)
     return SearchResult(
         h_score=h_score,
-        h_lower=h_pack[:, :, 0],
-        h_lrev=h_pack[:, :, 1],
-        h_size=h_pack[:, :, 2],
+        h_lower=jnp.where(valid_hit, hit_rows[:, :, F_LOWER], zero_h),
+        h_lrev=jnp.where(valid_hit, hit_rows[:, :, F_LREV], zero_h),
+        h_size=jnp.where(valid_hit, hit_rows[:, :, F_SIZE], zero_h),
         hcount=hcount,
         h_ops=h_ops,
         escalate=escalate,

@@ -101,7 +101,11 @@ def main():
         max_num_gaps_open=2,
     )
     config = SearchConfig(max_len=128, hit_cap=24, compute_forward_part=False)
-    engine = DeviceSearchEngine(index.fmd, params, lanes=LANES, config=config)
+    tier_s = int(os.environ.get("BENCH_TIER_S", 2048))
+    engine = DeviceSearchEngine(
+        index.fmd, params, lanes=LANES, config=config,
+        tiers=((tier_s, None),),
+    )
 
     reads = make_reads(index, N_READS)
 

@@ -228,80 +228,93 @@ class DeviceSearchEngine:
     # --- public API ---
 
     def search_chunk(self, records):
-        out = [None] * len(records)
-        params = self._params()
-
-        pending = list(range(len(records)))
-        for tier_i, (max_steps, tier_lanes) in enumerate(self.tiers):
-            if not pending:
-                break
-            tier_t0 = time.perf_counter()
-            tier_count = len(pending)
-            lanes = tier_lanes if tier_lanes is not None else self.lanes
-            config = self.config._replace(max_steps=max_steps)
-            still_pending = []
-            # Pipeline: dispatch every batch asynchronously, then fetch and
-            # extract in order; host prep/extract overlaps device compute.
-            in_flight = []
-            for base in range(0, len(pending), lanes):
-                idxs = pending[base : base + lanes]
-                batch = [records[i] for i in idxs]
-                in_flight.append(
-                    (idxs, batch, *self._dispatch_batch(batch, params, config, lanes))
-                )
-            for idxs, batch, handle, split_arr, overlong, t0 in in_flight:
-                results, escalated = self._collect_batch(
-                    batch, handle, split_arr, overlong, t0
-                )
-                for k, i in enumerate(idxs):
-                    if k in escalated:
-                        still_pending.append(i)
-                    else:
-                        out[i] = results[k]
-            pending = still_pending
-            logger.info(
-                "tier %d (S=%d): %d reads in %.1fs, %d escalated",
-                tier_i, max_steps, tier_count,
-                time.perf_counter() - tier_t0, len(still_pending),
-            )
-
-        # final fallback: native C++ searcher (exact semantics), else the
-        # Python oracle
-        if pending:
-            out = self._fallback(records, pending, out)
-        return out
-
-    def _fallback(self, records, pending, out):
         import os
         from concurrent.futures import ThreadPoolExecutor
 
+        out = [None] * len(records)
+        params = self._params()
+
+        # Fallback pool runs CONCURRENTLY with device collection: escalated
+        # reads are submitted the moment their batch result is fetched
+        # (ctypes releases the GIL during the native search call).
+        workers = max(1, (os.cpu_count() or 2) - 1)
+        fallback_futures = []
+        self._ensure_native()
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            pending = list(range(len(records)))
+            for tier_i, (max_steps, tier_lanes) in enumerate(self.tiers):
+                if not pending:
+                    break
+                tier_t0 = time.perf_counter()
+                tier_count = len(pending)
+                lanes = tier_lanes if tier_lanes is not None else self.lanes
+                config = self.config._replace(max_steps=max_steps)
+                still_pending = []
+                # Pipeline: dispatch every batch asynchronously, then fetch
+                # and extract in order; host work overlaps device compute.
+                in_flight = []
+                for base in range(0, len(pending), lanes):
+                    idxs = pending[base : base + lanes]
+                    batch = [records[i] for i in idxs]
+                    in_flight.append(
+                        (idxs, batch,
+                         *self._dispatch_batch(batch, params, config, lanes))
+                    )
+                last_tier = tier_i == len(self.tiers) - 1
+                for idxs, batch, handle, split_arr, overlong, t0 in in_flight:
+                    results, escalated = self._collect_batch(
+                        batch, handle, split_arr, overlong, t0
+                    )
+                    for k, i in enumerate(idxs):
+                        if k in escalated:
+                            if last_tier:
+                                fallback_futures.append(
+                                    pool.submit(self._fallback_one, records, i)
+                                )
+                            else:
+                                still_pending.append(i)
+                        else:
+                            out[i] = results[k]
+                pending = still_pending
+                logger.info(
+                    "tier %d (S=%d): %d reads in %.1fs, %d escalated",
+                    tier_i, max_steps, tier_count,
+                    time.perf_counter() - tier_t0,
+                    len(still_pending) + (len(fallback_futures) if last_tier else 0),
+                )
+            for i in pending:  # only when the tier list is empty
+                fallback_futures.append(
+                    pool.submit(self._fallback_one, records, i)
+                )
+            for fut in fallback_futures:
+                i, result = fut.result()
+                out[i] = result
+        self._stats["oracle"] += len(fallback_futures)
+        return out
+
+    def _ensure_native(self):
         from ..map import native_search
 
-        searcher = None
-        if native_search.available():
-            if getattr(self, "_native_searcher", None) is None:
-                self._native_searcher = native_search.NativeSearcher(self.fmd)
-            searcher = self._native_searcher
+        if getattr(self, "_native_searcher", None) is None:
+            self._native_searcher = (
+                native_search.NativeSearcher(self.fmd)
+                if native_search.available()
+                else None
+            )
+        return self._native_searcher
 
-        def one(i):
-            t1 = time.perf_counter()
-            record = records[i]
-            if searcher is not None and len(record.sequence) > 0:
-                hits = self._native_search(searcher, record)
-            else:
-                hits = oracle_search(
-                    record.sequence, record.base_qualities,
-                    self.parameters, self.fmd,
-                )
-            return i, (hits, time.perf_counter() - t1)
-
-        # ctypes releases the GIL during search_read: real thread parallelism
-        workers = max(1, (os.cpu_count() or 2) - 1)
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            for i, result in pool.map(one, pending):
-                out[i] = result
-        self._stats["oracle"] += len(pending)
-        return out
+    def _fallback_one(self, records, i):
+        searcher = self._ensure_native()
+        t1 = time.perf_counter()
+        record = records[i]
+        if searcher is not None and len(record.sequence) > 0:
+            hits = self._native_search(searcher, record)
+        else:
+            hits = oracle_search(
+                record.sequence, record.base_qualities,
+                self.parameters, self.fmd,
+            )
+        return i, (hits, time.perf_counter() - t1)
 
     def _native_search(self, searcher, record):
         sdm = self.parameters.difference_model

@@ -41,6 +41,12 @@ class DeviceFmIndex(NamedTuple):
 
         k = occ_k or (fmd.occ_k if fmd.occ_k % 4 == 0 else 64)
         n = len(fmd.bwt)
+        if n >= 2**31:
+            raise ValueError(
+                "device engine currently supports texts < 2^31 symbols "
+                "(int32 intervals); use the native host engine for larger "
+                "genomes (an int64 device mode is planned)"
+            )
         nb = (n + k - 1) // k
         bwt = np.asarray(fmd.bwt, dtype=np.uint8)
         padded = np.full(nb * k, 255, dtype=np.uint8)

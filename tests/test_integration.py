@@ -318,3 +318,55 @@ def test_integration_rg(tmp_path):
     mapping_run(str(input_bam), str(genome), str(out), False, params,
                 ("RG01", []), cmdline="mapad map")
     _check_results(out, expected_rg="RG01")
+
+
+def test_distributed_worker_death_requeues(tmp_path):
+    # Fault tolerance (dispatcher.rs:384-401): a worker dying mid-run must
+    # not lose its chunk; the dispatcher re-queues it for the next worker.
+    import threading
+    import time as _time
+
+    from mapad_tpu.distributed import wire
+    from mapad_tpu.distributed.dispatcher import Dispatcher
+    from mapad_tpu.distributed.worker import Worker
+    from mapad_tpu.map.pipeline import OracleSearchEngine
+
+    genome, input_bam, params = prepare(tmp_path)
+    out = tmp_path / "output_reads_faulty.bam"
+    port = 14323
+
+    dispatcher = Dispatcher(
+        str(input_bam), str(genome), str(out), False, params, None,
+        cmdline="mapad map",
+    )
+    d_thread = threading.Thread(target=dispatcher.run, args=(port,))
+    d_thread.start()
+    _time.sleep(0.2)
+
+    # Faulty worker: accepts one task sheet and drops the connection
+    def faulty_worker():
+        import socket
+
+        sock = socket.create_connection(("127.0.0.1", port))
+        msg = wire.read_message(sock)
+        assert msg is not None
+        sock.close()  # dies with an assigned, unanswered task
+
+    f_thread = threading.Thread(target=faulty_worker)
+    f_thread.start()
+    f_thread.join(timeout=30)
+    _time.sleep(0.3)
+
+    def good_worker():
+        Worker(
+            "127.0.0.1", port,
+            engine_factory=lambda fmd, p: OracleSearchEngine(fmd, p),
+        ).run()
+
+    g_thread = threading.Thread(target=good_worker)
+    g_thread.start()
+    g_thread.join(timeout=120)
+    d_thread.join(timeout=120)
+    assert not d_thread.is_alive()
+
+    _check_results(out)

@@ -24,6 +24,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are visible; set "
+                f"jax.config.jax_num_cpu_devices before first use"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
 

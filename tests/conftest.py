@@ -1,15 +1,17 @@
 import os
 import sys
 
-# Tests run on a virtual 8-device CPU mesh; the real TPU is reserved for bench.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Tests run on a virtual 8-device CPU mesh; the real TPU is reserved for
+# bench. NOTE: on this jax build the JAX_PLATFORMS env var and the old
+# xla_force_host_platform_device_count flag are NOT honored for the CPU
+# device count -- only the config route works, and both knobs must be set
+# before the backend initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", os.environ.get("MAPAD_TEST_PLATFORM", "cpu"))
+jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent XLA compile cache: the search kernel compiles once, then all
 # subsequent test runs start instantly.

@@ -122,6 +122,8 @@ def k_mismatch_search(
     sdm = sdm if sdm is not None else parameters.difference_model
     mb = mismatch_bound if mismatch_bound is not None else parameters.mismatch_bound
     n = len(pattern)
+    if n == 0:
+        return []
 
     alignment_start_pos = sdm.find_alignment_start(n)
     bi_d_array = BiDArray(

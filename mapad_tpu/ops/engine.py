@@ -26,6 +26,7 @@ from ..map.oracle import k_mismatch_search as oracle_search
 from ..models.bounds import Continuous, TestBound
 from ..utils.seq import BASE_TO_CODE, CODE_TO_BASE
 from .fm import DeviceFmIndex
+from .search_pool import PoolConfig, k_mismatch_search_pool
 from .search import (
     OP_DELETION,
     OP_MISMATCH,
@@ -98,18 +99,26 @@ def _batch_luts(sdm, params, seqs, quals, n):
 class DeviceSearchEngine:
     def __init__(self, fmd_index, parameters, lanes: int = 2048,
                  config: SearchConfig | None = None,
-                 tiers: tuple = DEFAULT_TIERS):
+                 tiers: tuple = DEFAULT_TIERS, mode: str = "pool",
+                 pool_config: "PoolConfig | None" = None):
         import jax.numpy as jnp
 
         self.fmd = fmd_index
         self.parameters = parameters
         self.lanes = lanes
+        self.mode = mode
         self.device_index = DeviceFmIndex.from_host(fmd_index)
         sdm = parameters.difference_model
         self._is_backward_only = sdm.find_alignment_start(100) == 100
         if config is None:
             config = SearchConfig(compute_forward_part=not self._is_backward_only)
         self.config = config
+        if pool_config is None:
+            pool_config = PoolConfig(
+                max_len=config.max_len,
+                compute_forward_part=config.compute_forward_part,
+            )
+        self.pool_config = pool_config
         self.tiers = tiers
         self._stats = {"device_lanes": 0, "escalated": 0, "oracle": 0, "batches": 0}
         self._params_cache = None
@@ -228,6 +237,144 @@ class DeviceSearchEngine:
     # --- public API ---
 
     def search_chunk(self, records):
+        if self.mode == "pool":
+            return self._search_chunk_pool(records)
+        return self._search_chunk_batch(records)
+
+    # --- persistent-pool path ---
+
+    def _search_chunk_pool(self, records):
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        cfg = self.pool_config
+        R = max(cfg.lanes, 4096)
+        out = [None] * len(records)
+        params = self._params()
+        self._ensure_native()
+        workers = max(1, (os.cpu_count() or 2) - 1)
+        fallback_futures = []
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            in_flight = []
+            for base in range(0, len(records), R):
+                chunk = records[base : base + R]
+                in_flight.append(
+                    (base, chunk, self._dispatch_pool(chunk, params, R, cfg))
+                )
+            for base, chunk, (handle, t0) in in_flight:
+                escalated = self._collect_pool(chunk, handle, out, base, t0)
+                for i in escalated:
+                    fallback_futures.append(
+                        pool.submit(self._fallback_one, records, base + i)
+                    )
+            for fut in fallback_futures:
+                i, result = fut.result()
+                out[i] = result
+        self._stats["oracle"] += len(fallback_futures)
+        return out
+
+    def _dispatch_pool(self, chunk, params, R, cfg):
+        t0 = time.perf_counter()
+        prep = self._prepare(
+            [r if len(r.sequence) <= cfg.max_len else _EMPTY for r in chunk],
+            cfg.max_len, R,
+        )
+        # padded/empty reads must reject everything and finish immediately
+        n_host = np.asarray(prep["n"])
+        thresh = np.asarray(prep["cutoff_thresh"]).copy()
+        thresh[n_host == 0] = np.float32(np.inf)
+        import jax.numpy as jnp
+
+        prep["cutoff_thresh"] = jnp.asarray(thresh)
+        handle = k_mismatch_search_pool(
+            self.device_index, prep["pattern_rank"], prep["pattern_code"],
+            prep["n"], prep["score_lut"], prep["pen"], prep["split"],
+            prep["cutoff_scale"], prep["cutoff_thresh"], prep["repr_mm"],
+            params, cfg,
+        )
+        return handle, t0
+
+    def _collect_pool(self, chunk, handle, out, base, t0):
+        result = jax.tree.map(np.asarray, handle)
+        elapsed = time.perf_counter() - t0
+        per_read = elapsed / max(len(chunk), 1)
+        splits = [
+            self.parameters.difference_model.find_alignment_start(
+                len(r.sequence)
+            )
+            for r in chunk
+        ]
+
+        escalated = set(
+            i for i in range(len(chunk))
+            if len(chunk[i].sequence) > self.pool_config.max_len
+        )
+        n_chains = int(result.n_chains)
+        if n_chains > result.c_read.shape[0]:
+            # chain log overflow: cannot attribute hits safely
+            escalated.update(
+                i for i in range(len(chunk)) if len(chunk[i].sequence) > 0
+            )
+            logger.warning("pool chain log overflow (%d chains)", n_chains)
+        else:
+            for rid in result.lane_read[result.lane_unfinished]:
+                if rid < len(chunk):
+                    escalated.add(int(rid))
+            for rid in range(int(result.next_read), len(chunk)):
+                escalated.add(rid)
+
+            # group chains by read
+            per_read_chains: dict[int, list] = {}
+            order = np.argsort(-result.c_slot[:n_chains], kind="stable")
+            for k in order:
+                rid = int(result.c_read[k])
+                if 0 <= rid < len(chunk):
+                    per_read_chains.setdefault(rid, []).append(int(k))
+            for i, record in enumerate(chunk):
+                if i in escalated:
+                    continue
+                hits = [
+                    self._decode_chain(result, k, splits[i])
+                    for k in per_read_chains.get(i, [])
+                ]
+                out[base + i] = (hits, per_read)
+
+        self._stats["device_lanes"] += len(chunk)
+        self._stats["escalated"] += len(escalated)
+        self._stats["batches"] += 1
+        return escalated
+
+    def _decode_chain(self, result, k, split):
+        buckets: dict[int, list] = {}
+        for w in result.c_ops[k]:
+            w = int(w)
+            if w == 0:
+                break
+            kind = (w >> 17) & 7
+            pos = (w >> 2) & 0x7FFF
+            base = (
+                int(CODE_TO_BASE[w & 3])
+                if kind in (OP_MISMATCH, OP_DELETION)
+                else 0
+            )
+            buckets.setdefault(pos, []).append(EditOperation(kind, pos, base))
+        track = []
+        for pos in sorted(buckets):
+            ops = buckets[pos]
+            if pos < split:
+                track.extend(ops)
+            else:
+                track.extend(reversed(ops))
+        return HitInterval(
+            BiInterval(int(result.c_lower[k]), int(result.c_lrev[k]),
+                       int(result.c_size[k])),
+            np.float32(result.c_score[k]),
+            track,
+        )
+
+    # --- fixed-batch tiered path ---
+
+    def _search_chunk_batch(self, records):
         import os
         from concurrent.futures import ThreadPoolExecutor
 

@@ -1,0 +1,437 @@
+"""Persistent-pool batched search: lanes refill from a read pool.
+
+The fixed-batch kernel (ops/search.py) runs every lane until the slowest
+lane's search ends, so most lanes idle through the tail.  This variant keeps
+all lanes busy: the moment a lane finishes a read it synthesizes a fresh
+root frame for the next read from the pool (SURVEY.md hard part #3,
+"frontier compaction/rebatching across lanes").
+
+Differences from the fixed-batch kernel:
+- per-read constants live in (R, ...) pools; lanes carry a `read_id` and
+  refresh their cached per-read scalars on refill
+- a lane's stale frame-store entries are masked out at refill
+- completed hits stay in the store with the owning read id packed into the
+  (otherwise unused) gaps field of the completion entry; they are compacted
+  and chain-walked once at the end
+- a read either completes on its lane or is reported unfinished (its search
+  restarts on the exact native/host fallback) -- no per-step scatters at all
+
+Step semantics (pop order, bounds, early stops) are identical to the
+fixed-batch kernel and the host oracle; equivalence is property-tested.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bi_d import compute_bi_d
+from .fm import DeviceFmIndex, extend_batch
+from .search import (
+    CANDS,
+    F_GAPS,
+    F_LOWER,
+    F_LREV,
+    F_OP,
+    F_PARENT,
+    F_SCOREBITS,
+    F_SIZE,
+    F_STARTLEN,
+    GAP_CLOSED,
+    GAP_DELETION,
+    GAP_INSERTION,
+    NEG_INF,
+    NF,
+    OP_COMP_BIT,
+    OP_DELETION,
+    OP_INSERTION,
+    OP_MATCH,
+    OP_MISMATCH,
+    OP_VALID_BIT,
+    pack_op,
+)
+
+
+class PoolConfig(NamedTuple):
+    max_len: int = 128  # M
+    lanes: int = 512  # L
+    total_steps: int = 16384  # S: shared step budget == store rows / CANDS
+    max_chains: int = 8192  # compacted hit-chain capacity
+    compute_forward_part: bool = False
+
+
+class PoolResult(NamedTuple):
+    # compacted hit chains
+    c_read: jax.Array  # (C,) i32 read id (-1 = unused entry)
+    c_slot: jax.Array  # (C,) i32 store slot (descending == completion order)
+    c_lower: jax.Array  # (C,) i32
+    c_lrev: jax.Array  # (C,) i32
+    c_size: jax.Array  # (C,) i32
+    c_score: jax.Array  # (C,) f32
+    c_ops: jax.Array  # (C, MW) i32 op words, 0-terminated
+    n_chains: jax.Array  # () i32 (may exceed C -> escalate everything over)
+    # completion bookkeeping
+    lane_read: jax.Array  # (L,) i32 read id still held per lane (R = none)
+    lane_unfinished: jax.Array  # (L,) bool lane held an unfinished read
+    next_read: jax.Array  # () i32 pool watermark (reads >= this never ran)
+    steps: jax.Array  # () i32
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def k_mismatch_search_pool(
+    index: DeviceFmIndex,
+    pattern_rank,  # (R, M) i32
+    pattern_code,  # (R, M) i32
+    n,  # (R,) i32
+    score_lut,  # (R, M, 4) f32
+    pen,  # (R, M) f32
+    split,  # (R,) i32
+    cutoff_scale,  # (R,) f32
+    cutoff_thresh,  # (R,) f32
+    repr_mm,  # (R,) f32
+    params,  # SearchParams
+    config: PoolConfig,
+) -> PoolResult:
+    R, M = pattern_rank.shape
+    L = config.lanes
+    S = config.total_steps
+    SLOTS = S * CANDS + 1
+    ROOT = SLOTS - 1
+    C = config.max_chains
+    lanes = jnp.arange(L, dtype=jnp.int32)
+    i32 = jnp.int32
+    INT_MIN = jnp.int32(-2147483648)
+
+    def mono(f):
+        u = jax.lax.bitcast_convert_type(f, i32)
+        return u ^ ((u >> 31) & 0x7FFFFFFF)
+
+    def mono_inv(k):
+        return jax.lax.bitcast_convert_type(
+            k ^ ((k >> 31) & 0x7FFFFFFF), jnp.float32
+        )
+
+    bid = compute_bi_d(
+        index, pattern_rank, pen, n, split,
+        compute_forward_part=config.compute_forward_part,
+    )
+    # flattened per-position tables for (read_id, j) gathers
+    slut_flat = score_lut.reshape(R * M, 4)
+    code_flat = pattern_code.reshape(R * M)
+    bid_flat = bid.reshape(R * M)
+
+    st_mono = jnp.full((L, SLOTS), INT_MIN, i32)
+    st_pack = jnp.zeros((L, SLOTS, NF), i32)
+
+    # lanes start fresh on reads 0..L-1
+    read_id = jnp.where(lanes < R, lanes, R)
+    fresh = read_id < R
+    next_read = jnp.int32(min(L, R))
+    lane_done = read_id >= R
+
+    def fetch_consts(rid):
+        rid_c = jnp.clip(rid, 0, R - 1)
+        return (n[rid_c], split[rid_c], cutoff_scale[rid_c],
+                cutoff_thresh[rid_c], repr_mm[rid_c])
+
+    c_n, c_split, c_scale, c_thresh, c_repr = fetch_consts(read_id)
+
+    best_score = jnp.full((L,), NEG_INF, jnp.float32)
+    best_size = jnp.zeros((L,), i32)
+    hcount = jnp.zeros((L,), i32)
+
+    slot_iota = jax.lax.broadcasted_iota(i32, (L, SLOTS), 1)
+
+    state = (st_mono, st_pack, read_id, fresh, lane_done, next_read,
+             c_n, c_split, c_scale, c_thresh, c_repr,
+             best_score, best_size, hcount, jnp.int32(0))
+
+    def cond(state):
+        lane_done, step = state[4], state[14]
+        return jnp.logical_and(step < S, ~jnp.all(lane_done))
+
+    def body(state):
+        (st_mono, st_pack, read_id, fresh, lane_done, next_read,
+         c_n, c_split, c_scale, c_thresh, c_repr,
+         best_score, best_size, hcount, step) = state
+
+        active = ~lane_done
+
+        # --- pop: argmax (first occurrence == latest push); fresh lanes
+        # synthesize the root frame instead ---
+        sel = jnp.argmax(st_mono, axis=1).astype(i32)
+        f_mono = jnp.max(st_mono, axis=1)
+        popped = f_mono > INT_MIN
+        # a non-fresh active lane with an empty store finished its read
+        finish_empty = active & ~fresh & ~popped
+        working = active & (fresh | popped)
+        st_mono = jnp.where(
+            (slot_iota == sel[:, None]) & (working & ~fresh)[:, None],
+            INT_MIN, st_mono,
+        )
+        frame = st_pack[lanes, sel]
+        f_score = jnp.where(fresh, jnp.float32(0.0), mono_inv(f_mono))
+        f_lower = jnp.where(fresh, 0, frame[:, F_LOWER])
+        f_lrev = jnp.where(fresh, 0, frame[:, F_LREV])
+        f_size = jnp.where(fresh, index.text_len, frame[:, F_SIZE])
+        f_start = jnp.where(fresh, c_split, frame[:, F_STARTLEN] >> 16)
+        f_len = jnp.where(fresh, 0, frame[:, F_STARTLEN] & 0xFFFF)
+        gaps = jnp.where(fresh, 0, frame[:, F_GAPS])
+        parent = jnp.where(fresh, ROOT, sel)
+        f_gapb = gaps & 3
+        f_gapf = (gaps >> 2) & 3
+        f_ngaps = (gaps >> 4) & 0xFF
+        fresh = jnp.zeros_like(fresh)
+
+        nn = c_n
+        fwd = f_start <= nn - f_start - f_len
+        j = jnp.where(fwd, f_start + f_len, f_start - 1)
+        d_k = jnp.where(fwd, f_start, f_start - 1)
+        d_l = jnp.where(fwd, f_start + f_len, f_start + f_len - 1)
+        ext_lower = jnp.where(fwd, f_lrev, f_lower)
+        ext_lrev = jnp.where(fwd, f_lower, f_lrev)
+        gap_state = jnp.where(fwd, f_gapf, f_gapb)
+
+        ins_score = (
+            jnp.where(gap_state == GAP_INSERTION, params.pge, params.pgo_pge)
+            + f_score
+        ).astype(jnp.float32)
+        del_score = (
+            jnp.where(gap_state == GAP_DELETION, params.pge, params.pgo_pge)
+            + f_score
+        ).astype(jnp.float32)
+        ngaps_inc = jnp.where(gap_state == GAP_CLOSED, f_ngaps + 1, f_ngaps)
+
+        rid_c = jnp.clip(read_id, 0, R - 1)
+        j_c = jnp.clip(j, 0, M - 1)
+        flat = rid_c * M + j_c
+        Sj = slut_flat[flat]  # (L, 4)
+        pat_j = code_flat[flat]
+
+        # Bi-D lookahead via the flattened composite
+        bk = jnp.clip(d_k, 0, M - 1)
+        t = nn - (1 + d_l)
+        ci = jnp.clip(t + c_split, 0, M - 1)
+        vals = bid_flat[
+            jnp.stack([rid_c * M + bk, rid_c * M + ci], axis=1)
+        ]  # (L, 2)
+        d_rev = jnp.where((d_k >= 0) & (d_k < nn), vals[:, 0], jnp.float32(0.0))
+        d_fwd = jnp.where(
+            (t >= 0) & (t + c_split < nn), vals[:, 1], jnp.float32(0.0)
+        )
+        lb = (d_rev + d_fwd).astype(jnp.float32)
+
+        def reject(v):
+            return (v / c_scale) < c_thresh
+
+        # best-first global stop
+        stop = (f_score + lb).astype(jnp.float32) < best_score + c_repr
+        finish_stop = working & stop
+        still = working & ~stop
+
+        ch_lower, ch_lrev, ch_size = extend_batch(index, ext_lower, ext_lrev, f_size)
+        out_lower = jnp.where(fwd[:, None], ch_lrev, ch_lower)
+        out_lrev = jnp.where(fwd[:, None], ch_lower, ch_lrev)
+
+        ins_allowed = jnp.minimum(j, nn - j - 1) >= params.gap_dist_ends
+        d5 = jnp.where(fwd, j, j + 1)
+        del_allowed = jnp.minimum(d5, nn - d5) >= params.gap_dist_ends
+        next_start = jnp.where(fwd, f_start, f_start - 1)
+        del_rej = reject((del_score + lb).astype(jnp.float32))
+        ins_rej = reject((ins_score + lb).astype(jnp.float32))
+
+        c_ok, c_score = [], []
+        cl_lower, cl_lrev, cl_size = [], [], []
+        c_startlen, c_gaps, c_op = [], [], []
+
+        def gaps_word(gb, gf, ng):
+            return gb | (gf << 2) | (ng << 4)
+
+        ok = still & ~ins_rej & ins_allowed & (ngaps_inc <= params.max_gaps)
+        c_ok.append(ok)
+        c_score.append(ins_score)
+        cl_lower.append(f_lower)
+        cl_lrev.append(f_lrev)
+        cl_size.append(f_size)
+        c_startlen.append((next_start << 16) | (f_len + 1))
+        c_gaps.append(
+            gaps_word(
+                jnp.where(fwd, f_gapb, GAP_INSERTION),
+                jnp.where(fwd, GAP_INSERTION, f_gapf),
+                ngaps_inc,
+            )
+        )
+        c_op.append(pack_op(OP_INSERTION, j_c, 0))
+
+        for slot in range(4):
+            s_lower = out_lower[:, slot]
+            s_lrev = out_lrev[:, slot]
+            s_size = ch_size[:, slot]
+            nonzero = s_size >= 1
+            code = jnp.where(fwd, slot, 3 - slot)
+            mm_score = (Sj[lanes, code] + f_score).astype(jnp.float32)
+
+            ok = (
+                still & nonzero & ~del_rej & del_allowed
+                & (ngaps_inc <= params.max_gaps)
+            )
+            c_ok.append(ok)
+            c_score.append(del_score)
+            cl_lower.append(s_lower)
+            cl_lrev.append(s_lrev)
+            cl_size.append(s_size)
+            c_startlen.append((f_start << 16) | f_len)
+            c_gaps.append(
+                gaps_word(
+                    jnp.where(fwd, f_gapb, GAP_DELETION),
+                    jnp.where(fwd, GAP_DELETION, f_gapf),
+                    ngaps_inc,
+                )
+            )
+            c_op.append(pack_op(OP_DELETION, j_c, code))
+
+            ok = still & nonzero & ~reject((mm_score + lb).astype(jnp.float32))
+            kind = jnp.where(code == pat_j, OP_MATCH, OP_MISMATCH)
+            c_ok.append(ok)
+            c_score.append(mm_score)
+            cl_lower.append(s_lower)
+            cl_lrev.append(s_lrev)
+            cl_size.append(s_size)
+            c_startlen.append((next_start << 16) | (f_len + 1))
+            c_gaps.append(
+                gaps_word(
+                    jnp.where(fwd, f_gapb, GAP_CLOSED),
+                    jnp.where(fwd, GAP_CLOSED, f_gapf),
+                    f_ngaps,
+                )
+            )
+            c_op.append(pack_op(kind, j_c, code))
+
+        score9 = jnp.stack(c_score, axis=1)
+        size9 = jnp.stack(cl_size, axis=1)
+        len9 = jnp.stack(c_startlen, axis=1) & 0xFFFF
+        ok_cols, comp_cols = [], []
+        run_best, run_size = best_score, best_size
+        for k in range(CANDS):
+            ok_k = c_ok[k] & ~(score9[:, k] < run_best + c_repr)
+            comp_k = ok_k & (len9[:, k] == nn)
+            upd = comp_k & (score9[:, k] > run_best)
+            run_size = jnp.where(upd, size9[:, k], run_size)
+            run_best = jnp.where(upd, score9[:, k], run_best)
+            ok_cols.append(ok_k)
+            comp_cols.append(comp_k)
+        best_score, best_size = run_best, run_size
+        ok9 = jnp.stack(ok_cols, axis=1)
+        comp9 = jnp.stack(comp_cols, axis=1)
+        push9 = ok9 & ~comp9
+
+        # completion entries carry the owning read id in the gaps field
+        gaps9 = jnp.stack(c_gaps, axis=1)
+        gaps9 = jnp.where(comp9, read_id[:, None], gaps9)
+        pack9 = jnp.stack(
+            [
+                jnp.stack(cl_lower, axis=1),
+                jnp.stack(cl_lrev, axis=1),
+                jnp.stack(cl_size, axis=1),
+                jnp.broadcast_to(parent[:, None], (L, CANDS)),
+                jnp.stack(c_startlen, axis=1),
+                gaps9,
+                jnp.stack(c_op, axis=1)
+                | jnp.where(comp9, OP_COMP_BIT, 0).astype(i32),
+                jax.lax.bitcast_convert_type(score9, i32),
+            ],
+            axis=2,
+        )
+        base_slot = ROOT - (step + 1) * CANDS
+        st_pack = jax.lax.dynamic_update_slice(
+            st_pack, pack9[:, ::-1, :], (jnp.int32(0), base_slot, jnp.int32(0))
+        )
+        st_mono = jax.lax.dynamic_update_slice(
+            st_mono,
+            jnp.where(push9, mono(score9), INT_MIN)[:, ::-1],
+            (jnp.int32(0), base_slot),
+        )
+
+        hcount = hcount + jnp.sum(comp9, axis=1, dtype=i32)
+        finish_hits = still & ((hcount > 9) | (best_size > 1))
+
+        # --- refill finished lanes from the pool ---
+        finish = finish_empty | finish_stop | finish_hits
+        rank = jnp.cumsum(finish.astype(i32)) - finish.astype(i32)
+        new_rid = next_read + rank
+        read_id = jnp.where(finish, jnp.minimum(new_rid, R), read_id)
+        next_read = jnp.minimum(next_read + jnp.sum(finish, dtype=i32), R)
+        got_read = finish & (new_rid < R)
+        fresh = got_read
+        lane_done = lane_done | (finish & (new_rid >= R))
+        # stale frames of the finished read must never pop again
+        st_mono = jnp.where(finish[:, None], INT_MIN, st_mono)
+        best_score = jnp.where(finish, NEG_INF, best_score)
+        best_size = jnp.where(finish, 0, best_size)
+        hcount = jnp.where(finish, 0, hcount)
+        nc = fetch_consts(read_id)
+        c_n = jnp.where(finish, nc[0], c_n)
+        c_split = jnp.where(finish, nc[1], c_split)
+        c_scale = jnp.where(finish, nc[2], c_scale)
+        c_thresh = jnp.where(finish, nc[3], c_thresh)
+        c_repr = jnp.where(finish, nc[4], c_repr)
+
+        return (st_mono, st_pack, read_id, fresh, lane_done, next_read,
+                c_n, c_split, c_scale, c_thresh, c_repr,
+                best_score, best_size, hcount, step + 1)
+
+    state = jax.lax.while_loop(cond, body, state)
+    (st_mono, st_pack, read_id, fresh, lane_done, next_read,
+     c_n, c_split, c_scale, c_thresh, c_repr,
+     best_score, best_size, hcount, steps) = state
+
+    lane_unfinished = ~lane_done & (read_id < R)
+
+    # --- compact completion entries across the whole store ---
+    op_col = st_pack[:, :, F_OP]
+    comp_mask = (op_col & OP_COMP_BIT) != 0
+    flat_mask = comp_mask.reshape(L * SLOTS)
+    rank = jnp.cumsum(flat_mask.astype(i32)) - flat_mask.astype(i32)
+    n_chains = jnp.sum(flat_mask, dtype=i32)
+    dst = jnp.where(flat_mask & (rank < C), rank, C)
+    flat_lane = (
+        jax.lax.broadcasted_iota(i32, (L, SLOTS), 0).reshape(L * SLOTS)
+    )
+    flat_slot = slot_iota.reshape(L * SLOTS)
+    c_lane = jnp.zeros((C,), i32).at[dst].set(flat_lane, mode="drop")
+    c_slot = jnp.zeros((C,), i32).at[dst].set(flat_slot, mode="drop")
+    valid_chain = jnp.arange(C, dtype=i32) < jnp.minimum(n_chains, C)
+
+    entry = st_pack[c_lane, c_slot]  # (C, NF)
+    c_read = jnp.where(valid_chain, entry[:, F_GAPS], -1)
+    c_lower = entry[:, F_LOWER]
+    c_lrev = entry[:, F_LREV]
+    c_size = entry[:, F_SIZE]
+    c_score = jax.lax.bitcast_convert_type(entry[:, F_SCOREBITS], jnp.float32)
+
+    # --- walk the compacted chains ---
+    MW = M + 16
+    node0 = jnp.where(valid_chain, entry[:, F_PARENT], ROOT)
+    op0 = jnp.where(valid_chain, entry[:, F_OP], 0)
+
+    def walk(carry, _):
+        node = carry
+        e = st_pack[c_lane, node]
+        at_root = node == ROOT
+        word = jnp.where(at_root, 0, e[:, F_OP])
+        nxt = jnp.where(at_root, ROOT, e[:, F_PARENT])
+        return nxt, word
+
+    _, words = jax.lax.scan(walk, node0, None, length=MW - 1)
+    c_ops = jnp.concatenate([op0[None, :], words], axis=0).T  # (C, MW)
+
+    return PoolResult(
+        c_read=c_read, c_slot=c_slot, c_lower=c_lower, c_lrev=c_lrev,
+        c_size=c_size, c_score=c_score, c_ops=c_ops, n_chains=n_chains,
+        lane_read=read_id, lane_unfinished=lane_unfinished,
+        next_read=next_read, steps=steps,
+    )

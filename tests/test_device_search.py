@@ -135,3 +135,33 @@ def test_test_model_device_equals_oracle():
     for (hits, _), read in zip(results, reads):
         oracle_hits = oracle_search(read, [0] * len(read), params, fmd, dm, mmb)
         assert_hits_equal(hits, oracle_hits, read)
+
+
+def test_pool_engine_equals_oracle(bench_fixture):
+    from mapad_tpu.ops.search_pool import PoolConfig
+
+    ref, fmd, _ = bench_fixture
+    params = _adna_params()
+    rng = np.random.default_rng(123)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    reads = [
+        l.strip().encode()
+        for l in open(os.path.join(HERE, "data", "bench_reads.txt"))
+    ]
+    for _ in range(60):
+        ln = int(rng.integers(20, 101))
+        start = int(rng.integers(0, len(ref) - ln))
+        seq = bytearray(ref[start : start + ln])
+        for _ in range(int(rng.integers(0, 3))):
+            seq[int(rng.integers(0, ln))] = int(rng.choice(bases))
+        reads.append(bytes(seq))
+    reads.append(b"")  # empty read edge case
+
+    cfg = PoolConfig(max_len=128, lanes=16, total_steps=16384, max_chains=512,
+                     compute_forward_part=False)
+    engine = DeviceSearchEngine(fmd, params, mode="pool", pool_config=cfg)
+    results = engine.search_chunk(_records(reads))
+    assert engine._stats["oracle"] <= 2
+    for (hits, _dur), read in zip(results, reads):
+        oracle_hits = oracle_search(read, [40] * len(read), params, fmd)
+        assert_hits_equal(hits, oracle_hits, read[:16])

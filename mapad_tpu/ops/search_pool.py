@@ -6,15 +6,21 @@ all lanes busy: the moment a lane finishes a read it synthesizes a fresh
 root frame for the next read from the pool (SURVEY.md hard part #3,
 "frontier compaction/rebatching across lanes").
 
-Differences from the fixed-batch kernel:
-- per-read constants live in (R, ...) pools; lanes carry a `read_id` and
-  refresh their cached per-read scalars on refill
-- a lane's stale frame-store entries are masked out at refill
-- completed hits stay in the store with the owning read id packed into the
-  (otherwise unused) gaps field of the completion entry; they are compacted
-  and chain-walked once at the end
-- a read either completes on its lane or is reported unfinished (its search
-  restarts on the exact native/host fallback) -- no per-step scatters at all
+Key structures:
+- **Block-hierarchical pop.**  The frame store is grouped into blocks of
+  BCHUNK steps; a per-(lane, block) running max makes the pop scan
+  O(blocks) + one block-row gather, independent of the total step budget.
+  Block maxima are maintained exactly: push updates ride the shared-offset
+  DUS, pop recomputes the selected block's max from the already-gathered
+  row, refill zeroes the lane's whole block-max row (old blocks become
+  unreachable without touching their entries).
+- **Per-read step cap.**  A lane abandons reads that exceed
+  `read_step_cap` pops, writing an in-store abandon marker; the host
+  escalates those reads to the exact native/host searcher.  No per-step
+  scatters to per-read arrays anywhere.
+- **Hits in the store.**  Completion entries carry the owning read id in
+  the (otherwise unused) gaps field; one end-of-kernel compaction + chain
+  walk returns only O(hits) data.
 
 Step semantics (pop order, bounds, early stops) are identical to the
 fixed-batch kernel and the host oracle; equivalence is property-tested.
@@ -55,26 +61,28 @@ from .search import (
     pack_op,
 )
 
+OP_ABANDON_BIT = 1 << 22  # in-store marker: read hit the per-read step cap
+
 
 class PoolConfig(NamedTuple):
     max_len: int = 128  # M
     lanes: int = 512  # L
     total_steps: int = 16384  # S: shared step budget == store rows / CANDS
+    read_step_cap: int = 2048  # abandon a read after this many pops
     max_chains: int = 8192  # compacted hit-chain capacity
     compute_forward_part: bool = False
 
 
 class PoolResult(NamedTuple):
-    # compacted hit chains
     c_read: jax.Array  # (C,) i32 read id (-1 = unused entry)
     c_slot: jax.Array  # (C,) i32 store slot (descending == completion order)
+    c_abandon: jax.Array  # (C,) bool: abandon marker, not a hit
     c_lower: jax.Array  # (C,) i32
     c_lrev: jax.Array  # (C,) i32
     c_size: jax.Array  # (C,) i32
     c_score: jax.Array  # (C,) f32
     c_ops: jax.Array  # (C, MW) i32 op words, 0-terminated
-    n_chains: jax.Array  # () i32 (may exceed C -> escalate everything over)
-    # completion bookkeeping
+    n_chains: jax.Array  # () i32 (may exceed C -> escalate everything)
     lane_read: jax.Array  # (L,) i32 read id still held per lane (R = none)
     lane_unfinished: jax.Array  # (L,) bool lane held an unfinished read
     next_read: jax.Array  # () i32 pool watermark (reads >= this never ran)
@@ -99,9 +107,13 @@ def k_mismatch_search_pool(
     R, M = pattern_rank.shape
     L = config.lanes
     S = config.total_steps
+    # one step per block: every block holds exactly one lane-read's 9
+    # candidates, so stale entries never share a block with fresh pushes and
+    # all store accesses are contiguous rows
     SLOTS = S * CANDS + 1
     ROOT = SLOTS - 1
     C = config.max_chains
+    CAP = config.read_step_cap
     lanes = jnp.arange(L, dtype=jnp.int32)
     i32 = jnp.int32
     INT_MIN = jnp.int32(-2147483648)
@@ -119,19 +131,19 @@ def k_mismatch_search_pool(
         index, pattern_rank, pen, n, split,
         compute_forward_part=config.compute_forward_part,
     )
-    # flattened per-position tables for (read_id, j) gathers
     slut_flat = score_lut.reshape(R * M, 4)
     code_flat = pattern_code.reshape(R * M)
     bid_flat = bid.reshape(R * M)
 
-    st_mono = jnp.full((L, SLOTS), INT_MIN, i32)
+    st_mono = jnp.full((L, S, CANDS), INT_MIN, i32)
+    bm = jnp.full((L, S), INT_MIN, i32)  # per-(lane, step-block) max
     st_pack = jnp.zeros((L, SLOTS, NF), i32)
 
-    # lanes start fresh on reads 0..L-1
     read_id = jnp.where(lanes < R, lanes, R)
     fresh = read_id < R
     next_read = jnp.int32(min(L, R))
     lane_done = read_id >= R
+    lane_age = jnp.zeros((L,), i32)
 
     def fetch_consts(rid):
         rid_c = jnp.clip(rid, 0, R - 1)
@@ -144,36 +156,45 @@ def k_mismatch_search_pool(
     best_size = jnp.zeros((L,), i32)
     hcount = jnp.zeros((L,), i32)
 
-    slot_iota = jax.lax.broadcasted_iota(i32, (L, SLOTS), 1)
+    cand_iota = jax.lax.broadcasted_iota(i32, (L, CANDS), 1)
 
-    state = (st_mono, st_pack, read_id, fresh, lane_done, next_read,
-             c_n, c_split, c_scale, c_thresh, c_repr,
+    state = (st_mono, bm, st_pack, read_id, fresh, lane_done, next_read,
+             lane_age, c_n, c_split, c_scale, c_thresh, c_repr,
              best_score, best_size, hcount, jnp.int32(0))
 
     def cond(state):
-        lane_done, step = state[4], state[14]
+        lane_done, step = state[5], state[16]
         return jnp.logical_and(step < S, ~jnp.all(lane_done))
 
     def body(state):
-        (st_mono, st_pack, read_id, fresh, lane_done, next_read,
-         c_n, c_split, c_scale, c_thresh, c_repr,
+        (st_mono, bm, st_pack, read_id, fresh, lane_done, next_read,
+         lane_age, c_n, c_split, c_scale, c_thresh, c_repr,
          best_score, best_size, hcount, step) = state
 
         active = ~lane_done
 
-        # --- pop: argmax (first occurrence == latest push); fresh lanes
-        # synthesize the root frame instead ---
-        sel = jnp.argmax(st_mono, axis=1).astype(i32)
-        f_mono = jnp.max(st_mono, axis=1)
-        popped = f_mono > INT_MIN
-        # a non-fresh active lane with an empty store finished its read
+        # --- pop via per-step block maxima: argmax first occurrence is the
+        # lowest block index == the newest step (downward growth) == LIFO ---
+        sel_block = jnp.argmax(bm, axis=1).astype(i32)
+        bm_max = jnp.max(bm, axis=1)
+        popped = bm_max > INT_MIN
         finish_empty = active & ~fresh & ~popped
         working = active & (fresh | popped)
-        st_mono = jnp.where(
-            (slot_iota == sel[:, None]) & (working & ~fresh)[:, None],
-            INT_MIN, st_mono,
+
+        row = st_mono[lanes, sel_block]  # (L, CANDS) contiguous row gather
+        off = jnp.argmax(row, axis=1).astype(i32)
+        f_mono = jnp.max(row, axis=1)
+        sel = sel_block * CANDS + off
+
+        do_pop = working & ~fresh
+        row2 = jnp.where(
+            (cand_iota == off[:, None]) & do_pop[:, None], INT_MIN, row
         )
-        frame = st_pack[lanes, sel]
+        blk_eff = jnp.where(do_pop, sel_block, S)
+        st_mono = st_mono.at[lanes, blk_eff].set(row2, mode="drop")
+        bm = bm.at[lanes, blk_eff].set(jnp.max(row2, axis=1), mode="drop")
+
+        frame = st_pack[lanes, jnp.minimum(sel, SLOTS - 1)]
         f_score = jnp.where(fresh, jnp.float32(0.0), mono_inv(f_mono))
         f_lower = jnp.where(fresh, 0, frame[:, F_LOWER])
         f_lrev = jnp.where(fresh, 0, frame[:, F_LREV])
@@ -209,16 +230,13 @@ def k_mismatch_search_pool(
         rid_c = jnp.clip(read_id, 0, R - 1)
         j_c = jnp.clip(j, 0, M - 1)
         flat = rid_c * M + j_c
-        Sj = slut_flat[flat]  # (L, 4)
+        Sj = slut_flat[flat]
         pat_j = code_flat[flat]
 
-        # Bi-D lookahead via the flattened composite
         bk = jnp.clip(d_k, 0, M - 1)
         t = nn - (1 + d_l)
         ci = jnp.clip(t + c_split, 0, M - 1)
-        vals = bid_flat[
-            jnp.stack([rid_c * M + bk, rid_c * M + ci], axis=1)
-        ]  # (L, 2)
+        vals = bid_flat[jnp.stack([rid_c * M + bk, rid_c * M + ci], axis=1)]
         d_rev = jnp.where((d_k >= 0) & (d_k < nn), vals[:, 0], jnp.float32(0.0))
         d_fwd = jnp.where(
             (t >= 0) & (t + c_split < nn), vals[:, 1], jnp.float32(0.0)
@@ -228,10 +246,10 @@ def k_mismatch_search_pool(
         def reject(v):
             return (v / c_scale) < c_thresh
 
-        # best-first global stop
         stop = (f_score + lb).astype(jnp.float32) < best_score + c_repr
-        finish_stop = working & stop
-        still = working & ~stop
+        abandon = working & (lane_age >= CAP)
+        finish_stop = working & stop & ~abandon
+        still = working & ~stop & ~abandon
 
         ch_lower, ch_lrev, ch_size = extend_batch(index, ext_lower, ext_lrev, f_size)
         out_lower = jnp.where(fwd[:, None], ch_lrev, ch_lower)
@@ -329,9 +347,18 @@ def k_mismatch_search_pool(
         comp9 = jnp.stack(comp_cols, axis=1)
         push9 = ok9 & ~comp9
 
-        # completion entries carry the owning read id in the gaps field
+        # completion/abandon entries carry the owning read id in gaps
         gaps9 = jnp.stack(c_gaps, axis=1)
-        gaps9 = jnp.where(comp9, read_id[:, None], gaps9)
+        op9 = (
+            jnp.stack(c_op, axis=1)
+            | jnp.where(comp9, OP_COMP_BIT, 0).astype(i32)
+        )
+        # abandon marker rides candidate 0's slot
+        op9 = op9.at[:, 0].set(
+            jnp.where(abandon, OP_VALID_BIT | OP_ABANDON_BIT, op9[:, 0])
+        )
+        record9 = comp9.at[:, 0].set(comp9[:, 0] | abandon)
+        gaps9 = jnp.where(record9, read_id[:, None], gaps9)
         pack9 = jnp.stack(
             [
                 jnp.stack(cl_lower, axis=1),
@@ -340,27 +367,31 @@ def k_mismatch_search_pool(
                 jnp.broadcast_to(parent[:, None], (L, CANDS)),
                 jnp.stack(c_startlen, axis=1),
                 gaps9,
-                jnp.stack(c_op, axis=1)
-                | jnp.where(comp9, OP_COMP_BIT, 0).astype(i32),
+                op9,
                 jax.lax.bitcast_convert_type(score9, i32),
             ],
             axis=2,
         )
-        base_slot = ROOT - (step + 1) * CANDS
+        # block for step s is S-1-s: the store grows downward so the pop
+        # argmax's first-occurrence tie rule lands on the newest step
+        blk = S - 1 - step
+        base_slot = blk * CANDS
         st_pack = jax.lax.dynamic_update_slice(
             st_pack, pack9[:, ::-1, :], (jnp.int32(0), base_slot, jnp.int32(0))
         )
+        mono9 = jnp.where(push9, mono(score9), INT_MIN)[:, ::-1]
         st_mono = jax.lax.dynamic_update_slice(
-            st_mono,
-            jnp.where(push9, mono(score9), INT_MIN)[:, ::-1],
-            (jnp.int32(0), base_slot),
+            st_mono, mono9[:, None, :], (jnp.int32(0), blk, jnp.int32(0))
+        )
+        bm = jax.lax.dynamic_update_slice(
+            bm, jnp.max(mono9, axis=1)[:, None], (jnp.int32(0), blk)
         )
 
         hcount = hcount + jnp.sum(comp9, axis=1, dtype=i32)
         finish_hits = still & ((hcount > 9) | (best_size > 1))
 
         # --- refill finished lanes from the pool ---
-        finish = finish_empty | finish_stop | finish_hits
+        finish = finish_empty | finish_stop | finish_hits | abandon
         rank = jnp.cumsum(finish.astype(i32)) - finish.astype(i32)
         new_rid = next_read + rank
         read_id = jnp.where(finish, jnp.minimum(new_rid, R), read_id)
@@ -368,8 +399,12 @@ def k_mismatch_search_pool(
         got_read = finish & (new_rid < R)
         fresh = got_read
         lane_done = lane_done | (finish & (new_rid >= R))
-        # stale frames of the finished read must never pop again
-        st_mono = jnp.where(finish[:, None], INT_MIN, st_mono)
+        # unreachable-ify the finished read's remaining frames: one pass over
+        # the per-step block maxima (their entries are never revisited since
+        # future pushes always occupy fresh blocks)
+        bm = jnp.where(finish[:, None], INT_MIN, bm)
+
+        lane_age = jnp.where(finish, 0, lane_age + active.astype(i32))
         best_score = jnp.where(finish, NEG_INF, best_score)
         best_size = jnp.where(finish, 0, best_size)
         hcount = jnp.where(finish, 0, hcount)
@@ -380,20 +415,21 @@ def k_mismatch_search_pool(
         c_thresh = jnp.where(finish, nc[3], c_thresh)
         c_repr = jnp.where(finish, nc[4], c_repr)
 
-        return (st_mono, st_pack, read_id, fresh, lane_done, next_read,
-                c_n, c_split, c_scale, c_thresh, c_repr,
+        return (st_mono, bm, st_pack, read_id, fresh, lane_done, next_read,
+                lane_age, c_n, c_split, c_scale, c_thresh, c_repr,
                 best_score, best_size, hcount, step + 1)
 
     state = jax.lax.while_loop(cond, body, state)
-    (st_mono, st_pack, read_id, fresh, lane_done, next_read,
-     c_n, c_split, c_scale, c_thresh, c_repr,
+    (st_mono, bm, st_pack, read_id, fresh, lane_done, next_read,
+     lane_age, c_n, c_split, c_scale, c_thresh, c_repr,
      best_score, best_size, hcount, steps) = state
 
     lane_unfinished = ~lane_done & (read_id < R)
 
-    # --- compact completion entries across the whole store ---
+    # --- compact completion/abandon entries across the whole store ---
+    slot_iota = jax.lax.broadcasted_iota(i32, (L, SLOTS), 1)
     op_col = st_pack[:, :, F_OP]
-    comp_mask = (op_col & OP_COMP_BIT) != 0
+    comp_mask = (op_col & (OP_COMP_BIT | OP_ABANDON_BIT)) != 0
     flat_mask = comp_mask.reshape(L * SLOTS)
     rank = jnp.cumsum(flat_mask.astype(i32)) - flat_mask.astype(i32)
     n_chains = jnp.sum(flat_mask, dtype=i32)
@@ -407,16 +443,17 @@ def k_mismatch_search_pool(
     valid_chain = jnp.arange(C, dtype=i32) < jnp.minimum(n_chains, C)
 
     entry = st_pack[c_lane, c_slot]  # (C, NF)
+    c_abandon = (entry[:, F_OP] & OP_ABANDON_BIT) != 0
     c_read = jnp.where(valid_chain, entry[:, F_GAPS], -1)
     c_lower = entry[:, F_LOWER]
     c_lrev = entry[:, F_LREV]
     c_size = entry[:, F_SIZE]
     c_score = jax.lax.bitcast_convert_type(entry[:, F_SCOREBITS], jnp.float32)
 
-    # --- walk the compacted chains ---
     MW = M + 16
-    node0 = jnp.where(valid_chain, entry[:, F_PARENT], ROOT)
-    op0 = jnp.where(valid_chain, entry[:, F_OP], 0)
+    walk_valid = valid_chain & ~c_abandon
+    node0 = jnp.where(walk_valid, entry[:, F_PARENT], ROOT)
+    op0 = jnp.where(walk_valid, entry[:, F_OP], 0)
 
     def walk(carry, _):
         node = carry
@@ -430,8 +467,9 @@ def k_mismatch_search_pool(
     c_ops = jnp.concatenate([op0[None, :], words], axis=0).T  # (C, MW)
 
     return PoolResult(
-        c_read=c_read, c_slot=c_slot, c_lower=c_lower, c_lrev=c_lrev,
-        c_size=c_size, c_score=c_score, c_ops=c_ops, n_chains=n_chains,
+        c_read=c_read, c_slot=c_slot, c_abandon=c_abandon & valid_chain,
+        c_lower=c_lower, c_lrev=c_lrev, c_size=c_size, c_score=c_score,
+        c_ops=c_ops, n_chains=n_chains,
         lane_read=read_id, lane_unfinished=lane_unfinished,
         next_read=next_read, steps=steps,
     )

@@ -323,12 +323,16 @@ class DeviceSearchEngine:
             for rid in range(int(result.next_read), len(chunk)):
                 escalated.add(rid)
 
-            # group chains by read
+            # group chains by read; abandon markers escalate their read
             per_read_chains: dict[int, list] = {}
             order = np.argsort(-result.c_slot[:n_chains], kind="stable")
             for k in order:
                 rid = int(result.c_read[k])
-                if 0 <= rid < len(chunk):
+                if not (0 <= rid < len(chunk)):
+                    continue
+                if result.c_abandon[k]:
+                    escalated.add(rid)
+                else:
                     per_read_chains.setdefault(rid, []).append(int(k))
             for i, record in enumerate(chunk):
                 if i in escalated:

@@ -165,3 +165,24 @@ def test_pool_engine_equals_oracle(bench_fixture):
     for (hits, _dur), read in zip(results, reads):
         oracle_hits = oracle_search(read, [40] * len(read), params, fmd)
         assert_hits_equal(hits, oracle_hits, read[:16])
+
+
+def test_pool_abandon_escalates_to_exact_fallback(bench_fixture):
+    # A tiny per-read step cap forces abandon markers; those reads must be
+    # re-run exactly (native/oracle), not silently truncated.
+    from mapad_tpu.ops.search_pool import PoolConfig
+
+    ref, fmd, _ = bench_fixture
+    params = _adna_params()
+    reads = [
+        l.strip().encode()
+        for l in open(os.path.join(HERE, "data", "bench_reads.txt"))
+    ]
+    cfg = PoolConfig(max_len=128, lanes=8, total_steps=4096, read_step_cap=64,
+                     max_chains=256, compute_forward_part=False)
+    engine = DeviceSearchEngine(fmd, params, mode="pool", pool_config=cfg)
+    results = engine.search_chunk(_records(reads))
+    assert engine._stats["oracle"] > 0  # some reads were abandoned
+    for (hits, _dur), read in zip(results, reads):
+        oracle_hits = oracle_search(read, [40] * len(read), params, fmd)
+        assert_hits_equal(hits, oracle_hits, read[:16])

@@ -255,18 +255,29 @@ class DeviceSearchEngine:
         workers = max(1, (os.cpu_count() or 2) - 1)
         fallback_futures = []
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            in_flight = []
-            for base in range(0, len(records), R):
-                chunk = records[base : base + R]
-                in_flight.append(
-                    (base, chunk, self._dispatch_pool(chunk, params, R, cfg))
-                )
-            for base, chunk, (handle, t0) in in_flight:
+            # keep at most 2 pool invocations in flight (each holds a
+            # multi-GB frame store on device)
+            from collections import deque
+
+            in_flight = deque()
+
+            def collect_one():
+                base, chunk, (handle, t0) = in_flight.popleft()
                 escalated = self._collect_pool(chunk, handle, out, base, t0)
                 for i in escalated:
                     fallback_futures.append(
                         pool.submit(self._fallback_one, records, base + i)
                     )
+
+            for base in range(0, len(records), R):
+                chunk = records[base : base + R]
+                in_flight.append(
+                    (base, chunk, self._dispatch_pool(chunk, params, R, cfg))
+                )
+                if len(in_flight) >= 2:
+                    collect_one()
+            while in_flight:
+                collect_one()
             for fut in fallback_futures:
                 i, result = fut.result()
                 out[i] = result

@@ -131,9 +131,27 @@ def k_mismatch_search_pool(
         index, pattern_rank, pen, n, split,
         compute_forward_part=config.compute_forward_part,
     )
-    slut_flat = score_lut.reshape(R * M, 4)
-    code_flat = pattern_code.reshape(R * M)
+    # fuse the score LUT and base code into one row-gatherable table
+    # (codes 0..4 are exact in f32)
+    slut_flat = jnp.concatenate(
+        [
+            score_lut.reshape(R * M, 4),
+            pattern_code.reshape(R * M, 1).astype(jnp.float32),
+        ],
+        axis=1,
+    )
     bid_flat = bid.reshape(R * M)
+    # fuse per-read constants into one row-gatherable i32 table
+    consts = jnp.stack(
+        [
+            n.astype(i32),
+            split.astype(i32),
+            jax.lax.bitcast_convert_type(cutoff_scale, i32),
+            jax.lax.bitcast_convert_type(cutoff_thresh, i32),
+            jax.lax.bitcast_convert_type(repr_mm, i32),
+        ],
+        axis=1,
+    )  # (R, 5)
 
     st_mono = jnp.full((L, S, CANDS), INT_MIN, i32)
     bm = jnp.full((L, S), INT_MIN, i32)  # per-(lane, step-block) max
@@ -147,8 +165,14 @@ def k_mismatch_search_pool(
 
     def fetch_consts(rid):
         rid_c = jnp.clip(rid, 0, R - 1)
-        return (n[rid_c], split[rid_c], cutoff_scale[rid_c],
-                cutoff_thresh[rid_c], repr_mm[rid_c])
+        row = consts[rid_c]  # one (L, 5) row gather
+        return (
+            row[..., 0],
+            row[..., 1],
+            jax.lax.bitcast_convert_type(row[..., 2], jnp.float32),
+            jax.lax.bitcast_convert_type(row[..., 3], jnp.float32),
+            jax.lax.bitcast_convert_type(row[..., 4], jnp.float32),
+        )
 
     c_n, c_split, c_scale, c_thresh, c_repr = fetch_consts(read_id)
 
@@ -230,8 +254,9 @@ def k_mismatch_search_pool(
         rid_c = jnp.clip(read_id, 0, R - 1)
         j_c = jnp.clip(j, 0, M - 1)
         flat = rid_c * M + j_c
-        Sj = slut_flat[flat]
-        pat_j = code_flat[flat]
+        Srow = slut_flat[flat]  # (L, 5): scores + base code
+        Sj = Srow[:, :4]
+        pat_j = Srow[:, 4].astype(i32)
 
         bk = jnp.clip(d_k, 0, M - 1)
         t = nn - (1 + d_l)

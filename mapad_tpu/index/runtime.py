@@ -80,6 +80,12 @@ class OriginalSymbols:
     def __init__(self, positions: np.ndarray, symbols: np.ndarray):
         self.positions = np.asarray(positions, dtype=np.int64)
         self.symbols = np.asarray(symbols, dtype=np.uint8)
+        self._n = len(self.positions)
+        self._min = int(self.positions[0]) if self._n else 0
+        self._max = int(self.positions[-1]) if self._n else -1
+        self._map = {
+            int(p): int(s) for p, s in zip(self.positions, self.symbols)
+        }
 
     @classmethod
     def from_dict(cls, d: dict):
@@ -92,10 +98,9 @@ class OriginalSymbols:
         return cls(keys, vals)
 
     def get(self, idx: int):
-        i = np.searchsorted(self.positions, idx)
-        if i < len(self.positions) and self.positions[i] == idx:
-            return int(self.symbols[i])
-        return None
+        if self._n == 0 or idx < self._min or idx > self._max:
+            return None
+        return self._map.get(idx)
 
     def __len__(self):
         return len(self.positions)
@@ -111,6 +116,8 @@ class SampledSuffixArray:
         self.sampling_rate = int(sampling_rate)
         self.extra_keys = np.asarray(extra_keys, dtype=np.int64)
         self.extra_vals = np.asarray(extra_vals, dtype=np.int64)
+        self._native = None
+        self._native_tried = False
 
     def __len__(self):
         return len(self.fmd.bwt)
@@ -118,6 +125,19 @@ class SampledSuffixArray:
     def get(self, index: int):
         if index >= len(self):
             return None
+        # transparent native accelerator (exact same LF-walk semantics)
+        if self._native is None and not self._native_tried:
+            self._native_tried = True
+            try:
+                from ..map import native_search
+
+                if native_search.available():
+                    self._native = native_search.NativeSALookup(self)
+            except Exception:
+                self._native = None
+        if self._native is not None:
+            v = int(self._native.lookup([index])[0])
+            return None if v < 0 else v
         pos = index
         offset = 0
         while True:

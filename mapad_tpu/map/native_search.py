@@ -213,3 +213,44 @@ class NativeSearchEngine:
 
         with ThreadPoolExecutor(max_workers=self.threads) as pool:
             return list(pool.map(one, range(L)))
+
+
+class NativeSALookup:
+    """Batch suffix-array resolution via the native LF-walk."""
+
+    def __init__(self, ssa):
+        self.ssa = ssa
+        fmd = ssa.fmd
+        self._bwt = np.ascontiguousarray(fmd.bwt, dtype=np.uint8)
+        less = np.zeros(6, dtype=np.int64)
+        less[: len(fmd.less)] = np.asarray(fmd.less, dtype=np.int64)[:6]
+        self._less = less
+        cp = np.asarray(fmd.occ_cp, dtype=np.int64)
+        if cp.shape[1] < 6:
+            cp = np.pad(cp, ((0, 0), (0, 6 - cp.shape[1])))
+        elif cp.shape[1] > 6:
+            cp = cp[:, :6]
+        self._occ_cp = np.ascontiguousarray(cp)
+        self._sample = np.ascontiguousarray(ssa.sample, dtype=np.int64)
+        self._ek = np.ascontiguousarray(ssa.extra_keys, dtype=np.int64)
+        self._ev = np.ascontiguousarray(ssa.extra_vals, dtype=np.int64)
+
+    def lookup(self, positions):
+        lib = _load()
+        positions = np.ascontiguousarray(positions, dtype=np.int64)
+        out = np.empty(len(positions), dtype=np.int64)
+
+        def ptr(a, t):
+            return a.ctypes.data_as(ctypes.POINTER(t))
+
+        lib.sa_lookup_batch(
+            ptr(self._bwt, ctypes.c_uint8), ctypes.c_int64(len(self._bwt)),
+            ptr(self._less, ctypes.c_int64), ptr(self._occ_cp, ctypes.c_int64),
+            ctypes.c_int64(self.ssa.fmd.occ_k),
+            ctypes.c_int64(self.ssa.sampling_rate),
+            ptr(self._sample, ctypes.c_int64), ptr(self._ek, ctypes.c_int64),
+            ptr(self._ev, ctypes.c_int64), ctypes.c_int64(len(self._ek)),
+            ptr(positions, ctypes.c_int64), ctypes.c_int64(len(positions)),
+            ptr(out, ctypes.c_int64),
+        )
+        return out

@@ -98,11 +98,19 @@ def run_inner(
     task_queue, index, alignment_parameters, read_group, engine, writer,
     position_seed: int = 0,
 ):
+    """Search and postprocess run as a two-stage pipeline: a background
+    thread converts and writes chunk k while the engine searches chunk k+1
+    (the device work releases the GIL while the host waits)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     read_group_id = read_group[0] if read_group else None
-    for sheet in task_queue:
-        logger.debug("Map chunk %d of records", sheet.chunk_id)
-        results = engine.search_chunk(sheet.records)
-        for i, (record, (hits, duration)) in enumerate(zip(sheet.records, results)):
+
+    def postprocess(sheet, results):
+        logger.debug("Write chunk %d of BAM records to output file",
+                     sheet.chunk_id)
+        for i, (record, (hits, duration)) in enumerate(
+            zip(sheet.records, results)
+        ):
             # Deterministic per-read RNG for PrRange position enumeration
             rng = SplitMixRng(
                 (position_seed << 40) ^ (sheet.chunk_id << 20) ^ i
@@ -119,3 +127,14 @@ def run_inner(
                 rng,
             )
             writer.write_record(bam_record)
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        pending = None
+        for sheet in task_queue:
+            logger.debug("Map chunk %d of records", sheet.chunk_id)
+            results = engine.search_chunk(sheet.records)
+            if pending is not None:
+                pending.result()
+            pending = pool.submit(postprocess, sheet, results)
+        if pending is not None:
+            pending.result()

@@ -105,6 +105,7 @@ def to_bam_fields(ops, forward: bool, absolute_pos: int, original_symbols):
     md_parts: list[str] = []
 
     track = ops if forward else list(reversed(ops))
+    no_orig = len(original_symbols) == 0
 
     def md_add(op, last_op_kind):
         nonlocal num_matches
@@ -129,7 +130,9 @@ def to_bam_fields(ops, forward: bool, absolute_pos: int, original_symbols):
 
     for i, op in enumerate(track):
         # Re-substitute original symbols (record.rs:302-321)
-        if op.kind == OP_MATCH:
+        if no_orig:
+            pass
+        elif op.kind == OP_MATCH:
             orig = original_symbols.get(absolute_pos + i)
             if orig is not None:
                 op = EditOperation(OP_MISMATCH, op.pos, orig)

@@ -191,6 +191,44 @@ struct Hit {
 
 extern "C" {
 
+// Batch-resolve suffix-array positions via LF-walks over the sampled SA
+// (reference index/mod.rs:160-187).  positions/out are n_pos-long.
+int sa_lookup_batch(
+    const uint8_t* bwt, int64_t bwt_len, const int64_t* less,
+    const int64_t* occ_cp, int64_t occ_k, int64_t sampling_rate,
+    const int64_t* sample, const int64_t* extra_keys,
+    const int64_t* extra_vals, int64_t n_extra,
+    const int64_t* positions, int64_t n_pos, int64_t* out) {
+    FmIndex idx{bwt, bwt_len, less, occ_cp, occ_k, 0, 0};
+    for (int64_t i = 0; i < n_pos; i++) {
+        int64_t pos = positions[i];
+        if (pos >= bwt_len || pos < 0) {
+            out[i] = -1;
+            continue;
+        }
+        int64_t offset = 0;
+        for (;;) {
+            if (pos % sampling_rate == 0) {
+                out[i] = sample[pos / sampling_rate] + offset;
+                break;
+            }
+            int c = bwt[pos];
+            if (c == 0) {  // sentinel: cached extra row (binary search)
+                int64_t lo = 0, hi = n_extra;
+                while (lo < hi) {
+                    int64_t mid = (lo + hi) / 2;
+                    if (extra_keys[mid] < pos) lo = mid + 1; else hi = mid;
+                }
+                out[i] = extra_vals[lo] + offset;
+                break;
+            }
+            pos = less[c] + idx.occ(pos - 1, c);
+            offset++;
+        }
+    }
+    return 0;
+}
+
 // Search one read; returns the number of hits (capped at max_hits).
 // ops_out layout: per hit, (n + 16) uint32 op words, 0-terminated.
 int search_read(

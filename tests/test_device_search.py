@@ -186,3 +186,38 @@ def test_pool_abandon_escalates_to_exact_fallback(bench_fixture):
     for (hits, _dur), read in zip(results, reads):
         oracle_hits = oracle_search(read, [40] * len(read), params, fmd)
         assert_hits_equal(hits, oracle_hits, read[:16])
+
+
+def test_overlong_reads_escalate(bench_fixture):
+    # reads longer than max_len cannot enter the lanes; they must still be
+    # mapped exactly via the native/host fallback
+    ref, fmd, _ = bench_fixture
+    params = _adna_params()
+    long_read = ref[1000:1200]  # 200bp > max_len 128
+    reads = [long_read, ref[0:50]]
+    engine = DeviceSearchEngine(fmd, params, lanes=8)
+    results = engine.search_chunk(_records(reads))
+    for (hits, _), read in zip(results, reads):
+        want = oracle_search(read, [40] * len(read), params, fmd)
+        assert_hits_equal(hits, want, read[:16])
+
+
+def test_pool_determinism(bench_fixture):
+    ref, fmd, _ = bench_fixture
+    params = _adna_params()
+    rng = np.random.default_rng(5)
+    reads = []
+    for _ in range(40):
+        ln = int(rng.integers(30, 90))
+        start = int(rng.integers(0, len(ref) - ln))
+        reads.append(bytes(ref[start : start + ln]))
+    engine = DeviceSearchEngine(fmd, params, lanes=16,
+                                tiers=((2048, None),))
+    a = engine.search_chunk(_records(reads))
+    b = engine.search_chunk(_records(reads))
+    for (ha, _), (hb, _) in zip(a, b):
+        assert len(ha) == len(hb)
+        for x, y in zip(ha, hb):
+            assert x.interval == y.interval
+            assert np.float32(x.alignment_score) == np.float32(y.alignment_score)
+            assert x.edit_operations == y.edit_operations

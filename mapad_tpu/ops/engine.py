@@ -117,7 +117,10 @@ class DeviceSearchEngine:
             pool_config = PoolConfig(
                 max_len=config.max_len,
                 compute_forward_part=config.compute_forward_part,
+                backward_only=self._is_backward_only,
             )
+        elif pool_config.backward_only and not self._is_backward_only:
+            pool_config = pool_config._replace(backward_only=False)
         self.pool_config = pool_config
         self.tiers = tiers
         self._stats = {"device_lanes": 0, "escalated": 0, "oracle": 0, "batches": 0}

@@ -71,6 +71,11 @@ class PoolConfig(NamedTuple):
     read_step_cap: int = 2048  # abandon a read after this many pops
     max_chains: int = 8192  # compacted hit-chain capacity
     compute_forward_part: bool = False
+    # With backward-only models (find_alignment_start == len, the production
+    # aDNA model) start+len == n is invariant, so the extension direction is
+    # always Backward; setting this statically removes every direction
+    # select from the step.
+    backward_only: bool = True
 
 
 class PoolResult(NamedTuple):
@@ -233,13 +238,27 @@ def k_mismatch_search_pool(
         fresh = jnp.zeros_like(fresh)
 
         nn = c_n
-        fwd = f_start <= nn - f_start - f_len
-        j = jnp.where(fwd, f_start + f_len, f_start - 1)
-        d_k = jnp.where(fwd, f_start, f_start - 1)
-        d_l = jnp.where(fwd, f_start + f_len, f_start + f_len - 1)
-        ext_lower = jnp.where(fwd, f_lrev, f_lower)
-        ext_lrev = jnp.where(fwd, f_lower, f_lrev)
-        gap_state = jnp.where(fwd, f_gapf, f_gapb)
+        if config.backward_only:
+            fwd = jnp.zeros_like(lane_done)
+            j = f_start - 1
+            d_k = f_start - 1
+            d_l = f_start + f_len - 1
+            ext_lower, ext_lrev = f_lower, f_lrev
+            gap_state = f_gapb
+
+            def pick(fv, bv):
+                return bv
+        else:
+            fwd = f_start <= nn - f_start - f_len
+            j = jnp.where(fwd, f_start + f_len, f_start - 1)
+            d_k = jnp.where(fwd, f_start, f_start - 1)
+            d_l = jnp.where(fwd, f_start + f_len, f_start + f_len - 1)
+            ext_lower = jnp.where(fwd, f_lrev, f_lower)
+            ext_lrev = jnp.where(fwd, f_lower, f_lrev)
+            gap_state = jnp.where(fwd, f_gapf, f_gapb)
+
+            def pick(fv, bv):
+                return jnp.where(fwd, fv, bv)
 
         ins_score = (
             jnp.where(gap_state == GAP_INSERTION, params.pge, params.pgo_pge)
@@ -277,13 +296,16 @@ def k_mismatch_search_pool(
         still = working & ~stop & ~abandon
 
         ch_lower, ch_lrev, ch_size = extend_batch(index, ext_lower, ext_lrev, f_size)
-        out_lower = jnp.where(fwd[:, None], ch_lrev, ch_lower)
-        out_lrev = jnp.where(fwd[:, None], ch_lower, ch_lrev)
+        if config.backward_only:
+            out_lower, out_lrev = ch_lower, ch_lrev
+        else:
+            out_lower = jnp.where(fwd[:, None], ch_lrev, ch_lower)
+            out_lrev = jnp.where(fwd[:, None], ch_lower, ch_lrev)
 
         ins_allowed = jnp.minimum(j, nn - j - 1) >= params.gap_dist_ends
-        d5 = jnp.where(fwd, j, j + 1)
+        d5 = pick(j, j + 1)
         del_allowed = jnp.minimum(d5, nn - d5) >= params.gap_dist_ends
-        next_start = jnp.where(fwd, f_start, f_start - 1)
+        next_start = pick(f_start, f_start - 1)
         del_rej = reject((del_score + lb).astype(jnp.float32))
         ins_rej = reject((ins_score + lb).astype(jnp.float32))
 
@@ -303,8 +325,8 @@ def k_mismatch_search_pool(
         c_startlen.append((next_start << 16) | (f_len + 1))
         c_gaps.append(
             gaps_word(
-                jnp.where(fwd, f_gapb, GAP_INSERTION),
-                jnp.where(fwd, GAP_INSERTION, f_gapf),
+                pick(f_gapb, GAP_INSERTION),
+                pick(GAP_INSERTION, f_gapf),
                 ngaps_inc,
             )
         )
@@ -315,7 +337,7 @@ def k_mismatch_search_pool(
             s_lrev = out_lrev[:, slot]
             s_size = ch_size[:, slot]
             nonzero = s_size >= 1
-            code = jnp.where(fwd, slot, 3 - slot)
+            code = pick(slot, 3 - slot)
             mm_score = (Sj[lanes, code] + f_score).astype(jnp.float32)
 
             ok = (
@@ -330,8 +352,8 @@ def k_mismatch_search_pool(
             c_startlen.append((f_start << 16) | f_len)
             c_gaps.append(
                 gaps_word(
-                    jnp.where(fwd, f_gapb, GAP_DELETION),
-                    jnp.where(fwd, GAP_DELETION, f_gapf),
+                    pick(f_gapb, GAP_DELETION),
+                    pick(GAP_DELETION, f_gapf),
                     ngaps_inc,
                 )
             )
@@ -347,8 +369,8 @@ def k_mismatch_search_pool(
             c_startlen.append((next_start << 16) | (f_len + 1))
             c_gaps.append(
                 gaps_word(
-                    jnp.where(fwd, f_gapb, GAP_CLOSED),
-                    jnp.where(fwd, GAP_CLOSED, f_gapf),
+                    pick(f_gapb, GAP_CLOSED),
+                    pick(GAP_CLOSED, f_gapf),
                     f_ngaps,
                 )
             )

@@ -57,10 +57,13 @@ class InputSource:
     @classmethod
     def _sniff(cls, f, magic: bytes):
         if magic[:4] == b"CRAM":
-            raise InvalidInputType(
-                "CRAM input is not supported yet by mapad_tpu; "
-                "convert to BAM (samtools view -b)"
-            )
+            from .bam import SamHeader
+            from .cram import CramReader
+
+            reader = CramReader(f)
+            header = SamHeader.from_text(reader.header_text)
+            # CramRecord exposes the same attribute set as BamRecord
+            return cls("cram", cls._bam_records(reader), header=header)
         if magic[:2] == b"\x1f\x8b":
             # gzip container: BAM (BGZF) or fastq.gz
             # Peek decompressed start

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 
 import numpy as np
@@ -234,6 +235,7 @@ def _dispatch(args):
             args.reads, args.reference, args.output, args.force_overwrite,
             params, read_group, engine=engine, position_seed=args.seed,
             cmdline=cmdline,
+            threads=args.num_threads if args.num_threads > 0 else (os.cpu_count() or 1),
         )
         return 0
 

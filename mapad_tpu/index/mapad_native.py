@@ -108,8 +108,64 @@ def _read_uvarint(buf, pos):
         shift += 7
 
 
+_snappy_lib = None
+_snappy_tried = False
+
+
+def _native_snappy():
+    """Load (compiling on demand) the C++ block decoder; None if unavailable."""
+    global _snappy_lib, _snappy_tried
+    if _snappy_tried:
+        return _snappy_lib
+    _snappy_tried = True
+    import ctypes
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.normpath(os.path.join(here, "..", "..", "native",
+                                        "snappy.cpp"))
+    lib = os.path.normpath(os.path.join(here, "..", "..", "native",
+                                        "libsnappy_mapad.so"))
+    try:
+        if not os.path.exists(lib) or (
+            os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(lib)
+        ):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-o", lib, src],
+                check=True, capture_output=True,
+            )
+        dll = ctypes.CDLL(lib)
+        dll.snappy_block_decompress.restype = ctypes.c_longlong
+        dll.snappy_block_decompress.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.c_char_p, ctypes.c_longlong,
+        ]
+        _snappy_lib = dll
+    except Exception:
+        _snappy_lib = None
+    return _snappy_lib
+
+
 def snappy_block_decompress(buf: bytes) -> bytes:
     """Raw snappy block format: varint output length, then literal/copy tags."""
+    lib = _native_snappy()
+    if lib is not None:
+        import ctypes
+
+        n, _pos = _read_uvarint(buf, 0)
+        if n == 0:
+            return b""
+        out = ctypes.create_string_buffer(n)
+        got = lib.snappy_block_decompress(buf, len(buf), out, n)
+        if got != n:
+            raise InvalidIndex("snappy: malformed block")
+        return out.raw
+    return _snappy_block_decompress_py(buf)
+
+
+def _snappy_block_decompress_py(buf: bytes) -> bytes:
     n, pos = _read_uvarint(buf, 0)
     out = bytearray(n)
     opos = 0

@@ -57,6 +57,7 @@ def run(
     engine=None,
     position_seed: int = 0,
     cmdline: str | None = None,
+    threads: int = 1,
 ):
     """Load index parts and launch the mapping process (mapping.rs:57-125)."""
     if reads_path != "-" and not os.path.exists(reads_path):
@@ -90,51 +91,83 @@ def run(
                 engine,
                 writer,
                 position_seed,
+                threads,
             )
     logger.info("Done")
 
 
 def run_inner(
     task_queue, index, alignment_parameters, read_group, engine, writer,
-    position_seed: int = 0,
+    position_seed: int = 0, threads: int = 1,
 ):
     """Search and postprocess run as a two-stage pipeline: a background
     thread converts and writes chunk k while the engine searches chunk k+1
-    (the device work releases the GIL while the host waits)."""
+    (the device work releases the GIL while the host waits).  With
+    threads > 1 the per-record conversions inside a chunk additionally run
+    on a thread pool (order-preserving; the reference parallelizes this
+    loop with rayon, mapping.rs:193-215); SA lookups through the native
+    accelerator release the GIL."""
     from concurrent.futures import ThreadPoolExecutor
 
     read_group_id = read_group[0] if read_group else None
 
+    def convert(sheet, i, record, hits, duration):
+        # Deterministic per-read RNG for PrRange position enumeration
+        rng = SplitMixRng(
+            (position_seed << 40) ^ (sheet.chunk_id << 20) ^ i
+        )
+        return intervals_to_bam(
+            record,
+            hits,
+            index.suffix_array,
+            index.id_pos_map,
+            index.original_symbols,
+            duration,
+            alignment_parameters,
+            (read_group_id if read_group else None),
+            rng,
+        )
+
+    convert_pool = (
+        ThreadPoolExecutor(max_workers=threads) if threads > 1 else None
+    )
+
     def postprocess(sheet, results):
         logger.debug("Write chunk %d of BAM records to output file",
                      sheet.chunk_id)
-        for i, (record, (hits, duration)) in enumerate(
-            zip(sheet.records, results)
-        ):
-            # Deterministic per-read RNG for PrRange position enumeration
-            rng = SplitMixRng(
-                (position_seed << 40) ^ (sheet.chunk_id << 20) ^ i
+        if convert_pool is not None:
+            bam_records = list(
+                convert_pool.map(
+                    lambda args: convert(sheet, *args),
+                    [
+                        (i, record, hits, duration)
+                        for i, (record, (hits, duration)) in enumerate(
+                            zip(sheet.records, results)
+                        )
+                    ],
+                )
             )
-            bam_record = intervals_to_bam(
-                record,
-                hits,
-                index.suffix_array,
-                index.id_pos_map,
-                index.original_symbols,
-                duration,
-                alignment_parameters,
-                (read_group_id if read_group else None),
-                rng,
-            )
+        else:
+            bam_records = [
+                convert(sheet, i, record, hits, duration)
+                for i, (record, (hits, duration)) in enumerate(
+                    zip(sheet.records, results)
+                )
+            ]
+        for bam_record in bam_records:
             writer.write_record(bam_record)
 
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        pending = None
-        for sheet in task_queue:
-            logger.debug("Map chunk %d of records", sheet.chunk_id)
-            results = engine.search_chunk(sheet.records)
+    try:
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            pending = None
+            for sheet in task_queue:
+                logger.debug("Map chunk %d of records", sheet.chunk_id)
+                results = engine.search_chunk(sheet.records)
+                if pending is not None:
+                    pending.result()
+                pending = pool.submit(postprocess, sheet, results)
             if pending is not None:
                 pending.result()
-            pending = pool.submit(postprocess, sheet, results)
-        if pending is not None:
-            pending.result()
+    finally:
+        if convert_pool is not None:
+            convert_pool.shutdown()

@@ -43,9 +43,9 @@ def _walk_part(index: DeviceFmIndex, part_rank, part_pen, part_len, forward: boo
     lane = jnp.repeat(jnp.arange(L, dtype=jnp.int32), W)
     plen = part_len[lane]
 
-    init_lower = jnp.zeros(LW, jnp.int32)
-    init_lrev = jnp.zeros(LW, jnp.int32)
-    init_size = jnp.full(LW, index.text_len, jnp.int32)
+    init_lower = jnp.zeros(LW, index.idx_dtype)
+    init_lrev = jnp.zeros(LW, index.idx_dtype)
+    init_size = jnp.full(LW, index.text_len, index.idx_dtype)
 
     def step(carry, idx):
         lower, lrev, size, z, rm = carry

@@ -100,14 +100,20 @@ class DeviceSearchEngine:
     def __init__(self, fmd_index, parameters, lanes: int = 2048,
                  config: SearchConfig | None = None,
                  tiers: tuple = DEFAULT_TIERS, mode: str = "pool",
-                 pool_config: "PoolConfig | None" = None):
+                 pool_config: "PoolConfig | None" = None,
+                 big: bool | None = None):
         import jax.numpy as jnp
 
         self.fmd = fmd_index
         self.parameters = parameters
         self.lanes = lanes
         self.mode = mode
-        self.device_index = DeviceFmIndex.from_host(fmd_index)
+        self.device_index = DeviceFmIndex.from_host(fmd_index, big=big)
+        if self.device_index.big and mode != "pool":
+            raise ValueError(
+                "int64 (big-genome) device mode is implemented for the "
+                "pool kernel only; use mode='pool'"
+            )
         sdm = parameters.difference_model
         self._is_backward_only = sdm.find_alignment_start(100) == 100
         if config is None:

@@ -22,31 +22,46 @@ import numpy as np
 
 
 class DeviceFmIndex(NamedTuple):
-    """FMD-index arrays resident on device."""
+    """FMD-index arrays resident on device.
 
-    rows: jax.Array  # (nb, 6 + K//4) int32 fused occ+bwt rows
-    less: jax.Array  # (A,) int32
-    sentinels: jax.Array  # (2,) int32
+    `big=False` (texts < 2^31 symbols): checkpoint counts are int32 and one
+    fused row is [cp(6) | packed bwt].  `big=True` (int64 mode for e.g.
+    doubled human references): counts are stored as int32 lo/hi pairs in
+    the same fused row -- [cp_lo(6) | cp_hi(6) | packed bwt] -- so the rank
+    query still costs a single row gather; interval arithmetic runs in
+    int64 (requires jax x64, enabled at ops package import).
+    """
+
+    rows: jax.Array  # (nb, [6|12] + K//4) int32 fused occ+bwt rows
+    less: jax.Array  # (A,) int32 / int64
+    sentinels: jax.Array  # (2,) int32 / int64
     occ_k: int  # static
     text_len: int  # static
+    big: bool = False  # static: int64 interval mode
+
+    @property
+    def idx_dtype(self):
+        return jnp.int64 if self.big else jnp.int32
+
+    @property
+    def n_cp_cols(self) -> int:
+        return 12 if self.big else 6
 
     @classmethod
-    def from_host(cls, fmd, occ_k: int | None = None) -> "DeviceFmIndex":
+    def from_host(cls, fmd, occ_k: int | None = None,
+                  big: bool | None = None) -> "DeviceFmIndex":
         """Build from a host FmdIndex (mapad_tpu.index.fmd.FmdIndex).
 
         The device block size is independent of the on-disk checkpoint
         spacing; checkpoints are rebuilt here at a device-friendly k.
+        `big` defaults to automatic (int64 mode iff the text needs it).
         """
         from ..index.fmd import compute_occ_checkpoints
 
         k = occ_k or (fmd.occ_k if fmd.occ_k % 4 == 0 else 64)
         n = len(fmd.bwt)
-        if n >= 2**31:
-            raise ValueError(
-                "device engine currently supports texts < 2^31 symbols "
-                "(int32 intervals); use the native host engine for larger "
-                "genomes (an int64 device mode is planned)"
-            )
+        if big is None:
+            big = n >= 2**31 - 1
         nb = (n + k - 1) // k
         bwt = np.asarray(fmd.bwt, dtype=np.uint8)
         padded = np.full(nb * k, 255, dtype=np.uint8)
@@ -66,27 +81,51 @@ class DeviceFmIndex(NamedTuple):
         cp = cp[:nb]
         if cp.shape[1] < 6:
             cp = np.pad(cp, ((0, 0), (0, 6 - cp.shape[1])))
-        rows = np.concatenate([cp[:, :6].astype(np.int32), packed], axis=1)
+        cp = cp[:, :6]
+        idt = np.int64 if big else np.int32
+        if big:
+            cp_lo = (cp & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+            cp_hi = (cp >> 32).astype(np.int32)
+            rows = np.concatenate([cp_lo, cp_hi, packed], axis=1)
+        else:
+            rows = np.concatenate([cp.astype(np.int32), packed], axis=1)
         return cls(
             rows=jnp.asarray(rows),
-            less=jnp.asarray(np.asarray(fmd.less, dtype=np.int64), dtype=jnp.int32),
+            less=jnp.asarray(np.asarray(fmd.less, dtype=np.int64).astype(idt)),
             sentinels=jnp.asarray(
-                np.asarray(fmd.sentinel_occ, dtype=np.int64), dtype=jnp.int32
+                np.asarray(fmd.sentinel_occ, dtype=np.int64).astype(idt)
             ),
             occ_k=int(k),
             text_len=int(n),
+            big=bool(big),
         )
+
+
+# occ_k/text_len/big must be STATIC under jit (they steer Python-level
+# branching, e.g. the big-mode row layout), so override the default
+# NamedTuple pytree flattening with array-children + hashable aux data.
+jax.tree_util.register_pytree_node(
+    DeviceFmIndex,
+    lambda x: ((x.rows, x.less, x.sentinels), (x.occ_k, x.text_len, x.big)),
+    lambda aux, ch: DeviceFmIndex(ch[0], ch[1], ch[2], *aux),
+)
 
 
 def _row_occ4(index: DeviceFmIndex, r: jax.Array) -> jax.Array:
     """(L,) positions -> (L, 4) counts of ranks 1..4 in bwt[0..=r] (-1 -> 0)."""
     k = index.occ_k
     r_safe = jnp.maximum(r, 0)
-    blk = r_safe // k
-    off = r_safe % k
-    rows = index.rows[blk]  # (L, 6 + K//4) single gather
-    cp = rows[:, 1:5]  # checkpoint counts for ranks 1..4
-    words = rows[:, 6:]  # (L, K//4)
+    blk = (r_safe // k).astype(jnp.int32)
+    off = (r_safe % k).astype(jnp.int32)
+    rows = index.rows[blk]  # (L, n_cp + K//4) single gather
+    if index.big:
+        cp = (
+            (rows[:, 1:5].astype(jnp.int64) & 0xFFFFFFFF)
+            | (rows[:, 7:11].astype(jnp.int64) << 32)
+        )
+    else:
+        cp = rows[:, 1:5]  # checkpoint counts for ranks 1..4
+    words = rows[:, index.n_cp_cols:]  # (L, K//4)
     # unpack bytes: (L, K//4, 4) -> (L, K)
     shifts = jnp.asarray([0, 8, 16, 24], dtype=jnp.int32)
     symbols = ((words[:, :, None] >> shifts[None, None, :]) & 0xFF).reshape(
@@ -101,7 +140,10 @@ def _row_occ4(index: DeviceFmIndex, r: jax.Array) -> jax.Array:
         ],
         axis=1,
     )
-    return jnp.where(r[:, None] >= 0, counts + cp, 0)
+    return jnp.where(
+        r[:, None] >= 0, counts.astype(index.idx_dtype) + cp,
+        jnp.zeros((), index.idx_dtype),
+    )
 
 
 def occ4_batch(index: DeviceFmIndex, r: jax.Array) -> jax.Array:
@@ -156,7 +198,7 @@ def backward_ext_by_rank(index: DeviceFmIndex, lower, lower_rev, size, c):
     ch_lower, ch_lrev, ch_size = extend_batch(index, lower, lower_rev, size)
     # sweep slot for rank c is 4 - c
     slot = jnp.clip(4 - c, 0, 3)
-    lanes = jnp.arange(lower.shape[0])
+    lanes = jnp.arange(lower.shape[0], dtype=jnp.int32)
     sel_lower = ch_lower[lanes, slot]
     sel_lrev = ch_lrev[lanes, slot]
     sel_size = ch_size[lanes, slot]

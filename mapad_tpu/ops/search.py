@@ -369,7 +369,7 @@ def k_mismatch_search_batch(
     hit_slots, _ = jax.lax.top_k(hit_key, H)  # (L, H) descending
     hit_slots = jnp.maximum(hit_slots, 0)
     hit_rows = st_pack[lanes[:, None], hit_slots]  # (L, H, NF)
-    valid_hit = jnp.arange(H)[None, :] < hcount[:, None]
+    valid_hit = jnp.arange(H, dtype=jnp.int32)[None, :] < hcount[:, None]
     h_score = jnp.where(
         valid_hit,
         jax.lax.bitcast_convert_type(hit_rows[:, :, F_SCOREBITS], jnp.float32),

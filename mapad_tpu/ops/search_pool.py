@@ -7,13 +7,16 @@ root frame for the next read from the pool (SURVEY.md hard part #3,
 "frontier compaction/rebatching across lanes").
 
 Key structures:
-- **Block-hierarchical pop.**  The frame store is grouped into blocks of
-  BCHUNK steps; a per-(lane, block) running max makes the pop scan
-  O(blocks) + one block-row gather, independent of the total step budget.
-  Block maxima are maintained exactly: push updates ride the shared-offset
-  DUS, pop recomputes the selected block's max from the already-gathered
-  row, refill zeroes the lane's whole block-max row (old blocks become
-  unreachable without touching their entries).
+- **Ring-buffered block pop.**  Each step writes one 9-candidate block;
+  a per-(lane, block) max key plus the writing step (the LIFO tie-break)
+  drive the pop.  Since live frames are at most `read_step_cap` steps
+  old, the pop index is a ring of CAP+1 blocks: the per-step reductions
+  are O(L * CAP), independent of the total step budget, while the full
+  frame store (needed for chain walks) keeps the whole history.  Maxima
+  are maintained exactly: push updates ride the shared-offset column DUS
+  (which also clears the reused ring slot for every lane), pop recomputes
+  the selected block's max from the already-gathered row, refill
+  invalidates the lane's key row.
 - **Per-read step cap.**  A lane abandons reads that exceed
   `read_step_cap` pops, writing an in-store abandon marker; the host
   escalates those reads to the exact native/host searcher.  No per-step
@@ -82,9 +85,9 @@ class PoolResult(NamedTuple):
     c_read: jax.Array  # (C,) i32 read id (-1 = unused entry)
     c_slot: jax.Array  # (C,) i32 store slot (descending == completion order)
     c_abandon: jax.Array  # (C,) bool: abandon marker, not a hit
-    c_lower: jax.Array  # (C,) i32
-    c_lrev: jax.Array  # (C,) i32
-    c_size: jax.Array  # (C,) i32
+    c_lower: jax.Array  # (C,) i32 (i64 in big-index mode)
+    c_lrev: jax.Array  # (C,) i32 (i64 in big-index mode)
+    c_size: jax.Array  # (C,) i32 (i64 in big-index mode)
     c_score: jax.Array  # (C,) f32
     c_ops: jax.Array  # (C, MW) i32 op words, 0-terminated
     n_chains: jax.Array  # () i32 (may exceed C -> escalate everything)
@@ -119,9 +122,30 @@ def k_mismatch_search_pool(
     ROOT = SLOTS - 1
     C = config.max_chains
     CAP = config.read_step_cap
+    # Live frames are at most CAP steps old (lanes abandon at age CAP and a
+    # finished lane's pop row is invalidated), so the pop structures only
+    # need a ring of the last CAP+1 step-blocks -- the full-history store
+    # (st_pack, needed for chain walking) stays (L, SLOTS).  Each step
+    # writes its full (L,) column, so ring reuse can never leak stale
+    # entries.  This keeps the per-step pop reductions O(L * CAP) instead
+    # of O(L * S).
+    RB = min(S, CAP + 1)
     lanes = jnp.arange(L, dtype=jnp.int32)
     i32 = jnp.int32
     INT_MIN = jnp.int32(-2147483648)
+    # int64 ("big") index mode: interval fields are stored as int32 lo/hi
+    # pairs appended to the frame word (the store stays int32 throughout)
+    BIG = index.big
+    IDT = index.idx_dtype
+    NFP = NF + 3 if BIG else NF
+
+    def _pack64(v):  # (..., ) int64 -> lo, hi int32
+        pair = jax.lax.bitcast_convert_type(v.astype(jnp.int64), i32)
+        return pair[..., 0], pair[..., 1]
+
+    def _unpack64(lo, hi):  # int32 pair -> int64
+        return jax.lax.bitcast_convert_type(jnp.stack([lo, hi], axis=-1),
+                                            jnp.int64)
 
     def mono(f):
         u = jax.lax.bitcast_convert_type(f, i32)
@@ -158,9 +182,13 @@ def k_mismatch_search_pool(
         axis=1,
     )  # (R, 5)
 
-    st_mono = jnp.full((L, S, CANDS), INT_MIN, i32)
-    bm = jnp.full((L, S), INT_MIN, i32)  # per-(lane, step-block) max
-    st_pack = jnp.zeros((L, SLOTS, NF), i32)
+    st_mono = jnp.full((L, RB, CANDS), INT_MIN, i32)
+    # per-(lane, ring-block) pop index: the block's max key, plus the step
+    # that wrote the block (the LIFO tie-break: among equal keys the block
+    # from the newest step wins, exactly the old downward-growth argmax rule)
+    bm_key = jnp.full((L, RB), INT_MIN, i32)
+    bm_step = jnp.full((L, RB), -1, i32)
+    st_pack = jnp.zeros((L, SLOTS, NFP), i32)
 
     read_id = jnp.where(lanes < R, lanes, R)
     fresh = read_id < R
@@ -182,52 +210,68 @@ def k_mismatch_search_pool(
     c_n, c_split, c_scale, c_thresh, c_repr = fetch_consts(read_id)
 
     best_score = jnp.full((L,), NEG_INF, jnp.float32)
-    best_size = jnp.zeros((L,), i32)
+    best_size = jnp.zeros((L,), IDT)
     hcount = jnp.zeros((L,), i32)
 
     cand_iota = jax.lax.broadcasted_iota(i32, (L, CANDS), 1)
 
-    state = (st_mono, bm, st_pack, read_id, fresh, lane_done, next_read,
-             lane_age, c_n, c_split, c_scale, c_thresh, c_repr,
+    state = (st_mono, bm_key, bm_step, st_pack, read_id, fresh, lane_done,
+             next_read, lane_age, c_n, c_split, c_scale, c_thresh, c_repr,
              best_score, best_size, hcount, jnp.int32(0))
 
     def cond(state):
-        lane_done, step = state[5], state[16]
+        lane_done, step = state[6], state[17]
         return jnp.logical_and(step < S, ~jnp.all(lane_done))
 
     def body(state):
-        (st_mono, bm, st_pack, read_id, fresh, lane_done, next_read,
-         lane_age, c_n, c_split, c_scale, c_thresh, c_repr,
+        (st_mono, bm_key, bm_step, st_pack, read_id, fresh, lane_done,
+         next_read, lane_age, c_n, c_split, c_scale, c_thresh, c_repr,
          best_score, best_size, hcount, step) = state
 
         active = ~lane_done
 
-        # --- pop via per-step block maxima: argmax first occurrence is the
-        # lowest block index == the newest step (downward growth) == LIFO ---
-        sel_block = jnp.argmax(bm, axis=1).astype(i32)
-        bm_max = jnp.max(bm, axis=1)
-        popped = bm_max > INT_MIN
+        # --- pop: max key over the ring, LIFO ties resolved by the newest
+        # writing step (matches the old downward-growth argmax rule) ---
+        mkey = jnp.max(bm_key, axis=1)
+        popped = mkey > INT_MIN
+        tied = bm_key == mkey[:, None]
+        mstep = jnp.max(jnp.where(tied, bm_step, -1), axis=1)
+        sel_block = jnp.argmax(
+            tied & (bm_step == mstep[:, None]), axis=1
+        ).astype(i32)
         finish_empty = active & ~fresh & ~popped
         working = active & (fresh | popped)
 
         row = st_mono[lanes, sel_block]  # (L, CANDS) contiguous row gather
         off = jnp.argmax(row, axis=1).astype(i32)
         f_mono = jnp.max(row, axis=1)
-        sel = sel_block * CANDS + off
+        # full-store slot index of the popped frame (for st_pack/parents)
+        blk_full = S - 1 - mstep
+        sel = blk_full * CANDS + off
 
         do_pop = working & ~fresh
         row2 = jnp.where(
             (cand_iota == off[:, None]) & do_pop[:, None], INT_MIN, row
         )
-        blk_eff = jnp.where(do_pop, sel_block, S)
+        blk_eff = jnp.where(do_pop, sel_block, RB)
         st_mono = st_mono.at[lanes, blk_eff].set(row2, mode="drop")
-        bm = bm.at[lanes, blk_eff].set(jnp.max(row2, axis=1), mode="drop")
+        bm_key = bm_key.at[lanes, blk_eff].set(
+            jnp.max(row2, axis=1), mode="drop"
+        )
 
-        frame = st_pack[lanes, jnp.minimum(sel, SLOTS - 1)]
+        frame = st_pack[lanes, jnp.clip(sel, 0, SLOTS - 1)]
         f_score = jnp.where(fresh, jnp.float32(0.0), mono_inv(f_mono))
-        f_lower = jnp.where(fresh, 0, frame[:, F_LOWER])
-        f_lrev = jnp.where(fresh, 0, frame[:, F_LREV])
-        f_size = jnp.where(fresh, index.text_len, frame[:, F_SIZE])
+        if BIG:
+            fr_lower = _unpack64(frame[:, F_LOWER], frame[:, NF + 0])
+            fr_lrev = _unpack64(frame[:, F_LREV], frame[:, NF + 1])
+            fr_size = _unpack64(frame[:, F_SIZE], frame[:, NF + 2])
+        else:
+            fr_lower = frame[:, F_LOWER]
+            fr_lrev = frame[:, F_LREV]
+            fr_size = frame[:, F_SIZE]
+        f_lower = jnp.where(fresh, 0, fr_lower)
+        f_lrev = jnp.where(fresh, 0, fr_lrev)
+        f_size = jnp.where(fresh, jnp.asarray(index.text_len, IDT), fr_size)
         f_start = jnp.where(fresh, c_split, frame[:, F_STARTLEN] >> 16)
         f_len = jnp.where(fresh, 0, frame[:, F_STARTLEN] & 0xFFFF)
         gaps = jnp.where(fresh, 0, frame[:, F_GAPS])
@@ -406,32 +450,49 @@ def k_mismatch_search_pool(
         )
         record9 = comp9.at[:, 0].set(comp9[:, 0] | abandon)
         gaps9 = jnp.where(record9, read_id[:, None], gaps9)
+        lower9 = jnp.stack(cl_lower, axis=1)
+        lrev9 = jnp.stack(cl_lrev, axis=1)
+        if BIG:
+            lower9_lo, lower9_hi = _pack64(lower9)
+            lrev9_lo, lrev9_hi = _pack64(lrev9)
+            size9_lo, size9_hi = _pack64(size9)
+            extra = [lower9_hi, lrev9_hi, size9_hi]
+        else:
+            lower9_lo, lrev9_lo, size9_lo = lower9, lrev9, size9
+            extra = []
         pack9 = jnp.stack(
             [
-                jnp.stack(cl_lower, axis=1),
-                jnp.stack(cl_lrev, axis=1),
-                jnp.stack(cl_size, axis=1),
+                lower9_lo,
+                lrev9_lo,
+                size9_lo,
                 jnp.broadcast_to(parent[:, None], (L, CANDS)),
                 jnp.stack(c_startlen, axis=1),
                 gaps9,
                 op9,
                 jax.lax.bitcast_convert_type(score9, i32),
-            ],
+            ]
+            + extra,
             axis=2,
         )
-        # block for step s is S-1-s: the store grows downward so the pop
-        # argmax's first-occurrence tie rule lands on the newest step
+        # the full store still grows downward (block for step s is S-1-s);
+        # the pop structures live at the same block index modulo the ring
         blk = S - 1 - step
         base_slot = blk * CANDS
         st_pack = jax.lax.dynamic_update_slice(
             st_pack, pack9[:, ::-1, :], (jnp.int32(0), base_slot, jnp.int32(0))
         )
         mono9 = jnp.where(push9, mono(score9), INT_MIN)[:, ::-1]
+        ring_blk = jnp.remainder(blk, RB)
         st_mono = jax.lax.dynamic_update_slice(
-            st_mono, mono9[:, None, :], (jnp.int32(0), blk, jnp.int32(0))
+            st_mono, mono9[:, None, :], (jnp.int32(0), ring_blk, jnp.int32(0))
         )
-        bm = jax.lax.dynamic_update_slice(
-            bm, jnp.max(mono9, axis=1)[:, None], (jnp.int32(0), blk)
+        bm_key = jax.lax.dynamic_update_slice(
+            bm_key, jnp.max(mono9, axis=1)[:, None], (jnp.int32(0), ring_blk)
+        )
+        bm_step = jax.lax.dynamic_update_slice(
+            bm_step,
+            jnp.broadcast_to(step, (L,))[:, None],
+            (jnp.int32(0), ring_blk),
         )
 
         hcount = hcount + jnp.sum(comp9, axis=1, dtype=i32)
@@ -447,9 +508,9 @@ def k_mismatch_search_pool(
         fresh = got_read
         lane_done = lane_done | (finish & (new_rid >= R))
         # unreachable-ify the finished read's remaining frames: one pass over
-        # the per-step block maxima (their entries are never revisited since
-        # future pushes always occupy fresh blocks)
-        bm = jnp.where(finish[:, None], INT_MIN, bm)
+        # the ring's pop keys (their entries are never revisited; ring slots
+        # are fully rewritten by each step's column DUS before reuse)
+        bm_key = jnp.where(finish[:, None], INT_MIN, bm_key)
 
         lane_age = jnp.where(finish, 0, lane_age + active.astype(i32))
         best_score = jnp.where(finish, NEG_INF, best_score)
@@ -462,12 +523,12 @@ def k_mismatch_search_pool(
         c_thresh = jnp.where(finish, nc[3], c_thresh)
         c_repr = jnp.where(finish, nc[4], c_repr)
 
-        return (st_mono, bm, st_pack, read_id, fresh, lane_done, next_read,
-                lane_age, c_n, c_split, c_scale, c_thresh, c_repr,
+        return (st_mono, bm_key, bm_step, st_pack, read_id, fresh, lane_done,
+                next_read, lane_age, c_n, c_split, c_scale, c_thresh, c_repr,
                 best_score, best_size, hcount, step + 1)
 
     state = jax.lax.while_loop(cond, body, state)
-    (st_mono, bm, st_pack, read_id, fresh, lane_done, next_read,
+    (st_mono, bm_key, bm_step, st_pack, read_id, fresh, lane_done, next_read,
      lane_age, c_n, c_split, c_scale, c_thresh, c_repr,
      best_score, best_size, hcount, steps) = state
 
@@ -489,12 +550,17 @@ def k_mismatch_search_pool(
     c_slot = jnp.zeros((C,), i32).at[dst].set(flat_slot, mode="drop")
     valid_chain = jnp.arange(C, dtype=i32) < jnp.minimum(n_chains, C)
 
-    entry = st_pack[c_lane, c_slot]  # (C, NF)
+    entry = st_pack[c_lane, c_slot]  # (C, NFP)
     c_abandon = (entry[:, F_OP] & OP_ABANDON_BIT) != 0
     c_read = jnp.where(valid_chain, entry[:, F_GAPS], -1)
-    c_lower = entry[:, F_LOWER]
-    c_lrev = entry[:, F_LREV]
-    c_size = entry[:, F_SIZE]
+    if BIG:
+        c_lower = _unpack64(entry[:, F_LOWER], entry[:, NF + 0])
+        c_lrev = _unpack64(entry[:, F_LREV], entry[:, NF + 1])
+        c_size = _unpack64(entry[:, F_SIZE], entry[:, NF + 2])
+    else:
+        c_lower = entry[:, F_LOWER]
+        c_lrev = entry[:, F_LREV]
+        c_size = entry[:, F_SIZE]
     c_score = jax.lax.bitcast_convert_type(entry[:, F_SCOREBITS], jnp.float32)
 
     MW = M + 16

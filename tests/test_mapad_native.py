@@ -39,6 +39,21 @@ def test_snappy_frame_roundtrip():
         assert snappy_frame_decompress(snappy_frame_compress(data)) == data
 
 
+def test_snappy_native_matches_python():
+    from mapad_tpu.index import mapad_native as mn
+
+    plain = b"abcde" + b"abcde" * 5 + b"XYZ"
+    block = bytearray()
+    block += _varint(len(plain))
+    block += bytes([(5 - 1) << 2]) + b"abcde"
+    block += bytes([((25 - 1) << 2) | 2]) + (5).to_bytes(2, "little")
+    block += bytes([(3 - 1) << 2]) + b"XYZ"
+    py = mn._snappy_block_decompress_py(bytes(block))
+    assert py == plain
+    if mn._native_snappy() is not None:  # dispatch path uses the C++ decoder
+        assert mn.snappy_block_decompress(bytes(block)) == plain
+
+
 def test_snappy_block_golden():
     # Hand-built raw snappy block exercising literals and all copy widths
     # (format: github.com/google/snappy/blob/main/format_description.txt).

@@ -101,6 +101,9 @@ def build_parser() -> argparse.ArgumentParser:
                             "host C++ (native), or sequential Python (oracle)")
     p_map.add_argument("--lanes", type=int, default=2048,
                        help="Device batch width (reads per device step)")
+    p_map.add_argument("--profile", metavar="DIR", default=None,
+                       help="Write a JAX/XLA profiler trace of the mapping "
+                            "run to DIR (view with TensorBoard/xprof)")
 
     p_worker = sub.add_parser("worker", help="Spawns worker")
     p_worker.add_argument("--host", required=True,
@@ -231,12 +234,19 @@ def _dispatch(args):
 
         from .map.pipeline import run as mapping_run
 
-        mapping_run(
-            args.reads, args.reference, args.output, args.force_overwrite,
-            params, read_group, engine=engine, position_seed=args.seed,
-            cmdline=cmdline,
-            threads=args.num_threads if args.num_threads > 0 else (os.cpu_count() or 1),
-        )
+        profiling = getattr(args, "profile", None)
+        if profiling:
+            import jax
+
+            jax.profiler.start_trace(profiling)
+        try:
+            _run_map(mapping_run, args, params, read_group, engine, cmdline)
+        finally:
+            if profiling:
+                import jax
+
+                jax.profiler.stop_trace()
+                logger.info("Profiler trace written to %s", profiling)
         return 0
 
     if args.command == "worker":
@@ -246,6 +256,15 @@ def _dispatch(args):
         return 0
 
     return 1
+
+
+def _run_map(mapping_run, args, params, read_group, engine, cmdline):
+        mapping_run(
+            args.reads, args.reference, args.output, args.force_overwrite,
+            params, read_group, engine=engine, position_seed=args.seed,
+            cmdline=cmdline,
+            threads=args.num_threads if args.num_threads > 0 else (os.cpu_count() or 1),
+        )
 
 
 if __name__ == "__main__":

@@ -273,6 +273,16 @@ def test_integration_local(tmp_path):
     _check_results(out)
 
 
+def test_integration_local_threaded_postprocess(tmp_path):
+    # threads > 1 parallelizes per-record BAM conversion; output must stay
+    # byte-for-byte deterministic (order + per-read RNG)
+    genome, input_bam, params = prepare(tmp_path)
+    out = tmp_path / "output_reads_mt.bam"
+    mapping_run(str(input_bam), str(genome), str(out), False, params, None,
+                cmdline="mapad map", threads=4)
+    _check_results(out)
+
+
 def test_integration_distributed(tmp_path):
     # reference integration_1_distributed (:220-257): dispatcher + 2 workers
     # as threads over localhost TCP, real sockets

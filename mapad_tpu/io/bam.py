@@ -5,7 +5,7 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass, field
 
-from .bgzf import BgzfReader, BgzfWriter
+from .bgzf import BgzfReader, BgzfStream, BgzfWriter
 
 CIGAR_OPS = "MIDNSHP=X"
 CIGAR_OP_TO_CODE = {c: i for i, c in enumerate(CIGAR_OPS)}
@@ -315,30 +315,30 @@ class BamWriter:
 
 
 class BamReader:
+    """Streaming BAM reader (one BGZF block inflated at a time)."""
+
     def __init__(self, fileobj):
-        data = BgzfReader(fileobj).read_all()
-        if data[:4] != b"BAM\x01":
+        self._stream = BgzfStream(fileobj)
+        magic = self._stream.read(4)
+        if magic != b"BAM\x01":
             raise ValueError("not a BAM file")
-        (l_text,) = struct.unpack_from("<i", data, 4)
-        self.header_text = data[8 : 8 + l_text].decode("utf-8", "replace")
+        (l_text,) = struct.unpack("<i", self._stream.read(4))
+        self.header_text = self._stream.read(l_text).decode("utf-8", "replace")
         self.header = SamHeader.from_text(self.header_text)
-        p = 8 + l_text
-        (n_ref,) = struct.unpack_from("<i", data, p)
-        p += 4
+        (n_ref,) = struct.unpack("<i", self._stream.read(4))
         self.references = []
         for _ in range(n_ref):
-            (l_name,) = struct.unpack_from("<i", data, p)
-            p += 4
-            name = data[p : p + l_name - 1].decode()
-            p += l_name
-            (l_ref,) = struct.unpack_from("<i", data, p)
-            p += 4
+            (l_name,) = struct.unpack("<i", self._stream.read(4))
+            name = self._stream.read(l_name)[:-1].decode()
+            (l_ref,) = struct.unpack("<i", self._stream.read(4))
             self.references.append((name, l_ref))
-        self._data = data
-        self._pos = p
 
     def __iter__(self):
-        pos = self._pos
-        while pos < len(self._data):
-            rec, pos = decode_record(self._data, pos)
+        while True:
+            head = self._stream.read(4)
+            if head == b"":
+                return
+            (block_size,) = struct.unpack("<i", head)
+            body = self._stream.read(block_size)
+            rec, _ = decode_record(head + body, 0)
             yield rec

@@ -103,5 +103,58 @@ class BgzfReader:
         return self._data
 
 
+class BgzfStream:
+    """Streaming BGZF inflater: decompresses one block at a time so
+    arbitrarily large BAM inputs map in bounded memory."""
+
+    def __init__(self, fileobj):
+        self._f = fileobj
+        self._buf = bytearray()
+        self._off = 0
+        self._eof = False
+
+    def _inflate_next(self) -> bool:
+        head = self._f.read(12)
+        if not head:
+            self._eof = True
+            return False
+        if len(head) < 12 or head[:2] != b"\x1f\x8b":
+            raise ValueError("corrupt BGZF stream")
+        xlen = struct.unpack_from("<H", head, 10)[0]
+        extra = self._f.read(xlen)
+        bsize = None
+        off = 0
+        while off + 4 <= len(extra):
+            si1, si2, slen = extra[off], extra[off + 1], struct.unpack_from(
+                "<H", extra, off + 2
+            )[0]
+            if si1 == 0x42 and si2 == 0x43 and slen == 2:
+                bsize = struct.unpack_from("<H", extra, off + 4)[0] + 1
+            off += 4 + slen
+        if bsize is None:
+            raise ValueError("BGZF: missing BC subfield")
+        rest = self._f.read(bsize - 12 - xlen)
+        cdata = rest[:-8]
+        isize = struct.unpack_from("<I", rest, len(rest) - 4)[0]
+        if isize:
+            self._buf += zlib.decompress(cdata, -15, isize + 16)
+        return True
+
+    def read(self, n: int) -> bytes:
+        while len(self._buf) - self._off < n and not self._eof:
+            self._inflate_next()
+            if self._off > MAX_BLOCK_UNCOMPRESSED * 4:
+                del self._buf[: self._off]
+                self._off = 0
+        avail = len(self._buf) - self._off
+        if avail == 0 and n > 0:
+            return b""
+        if avail < n:
+            raise ValueError("BGZF: truncated stream")
+        out = bytes(self._buf[self._off : self._off + n])
+        self._off += n
+        return out
+
+
 def is_bgzf(magic: bytes) -> bool:
     return magic[:4] == b"\x1f\x8b\x08\x04"

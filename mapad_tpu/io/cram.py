@@ -751,9 +751,9 @@ class SliceReader:
                 if enc is None:
                     raise InvalidInputType(f"CRAM: no tag encoding for {key}")
                 blob = Decoder(enc, self.core, self.externals).read_bytes()
-                tags.append(
-                    (tag2, _decode_tag_value(tchar, Cursor(blob)))
-                )
+                tchar_out, value = _decode_tag_value(tchar, Cursor(blob))
+                # triple shape matches BamRecord.tags (bam.py BamRecord)
+                tags.append((tag2, tchar_out, value))
             rec.tags = tags
             rec.flags = bf
             rec.ref_id = ref_id
@@ -1140,7 +1140,7 @@ class CramWriter:
         td_entries = []
         for rec in records:
             line = []
-            for tag2, (tchar, _val) in rec.get("tags", []):
+            for tag2, tchar, _val in rec.get("tags", []):
                 line.append((tag2, tchar))
             if line not in td_entries:
                 td_entries.append(line)
@@ -1203,10 +1203,10 @@ class CramWriter:
                 add_int(11, -1)  # NS
                 add_int(12, -1)  # NP
                 add_int(13, 0)   # TS
-            line = [(t, tc) for t, (tc, _v) in rec.get("tags", [])]
+            line = [(t, tc) for t, tc, _v in rec.get("tags", [])]
             tl = td_entries.index(line)
             add_int(7, tl)
-            for tag2, (tchar, val) in rec.get("tags", []):
+            for tag2, tchar, val in rec.get("tags", []):
                 blob = _encode_tag_value(tchar, val)
                 add_int(14, len(blob))
                 ext[15] += blob

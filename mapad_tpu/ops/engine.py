@@ -120,8 +120,16 @@ class DeviceSearchEngine:
             config = SearchConfig(compute_forward_part=not self._is_backward_only)
         self.config = config
         if pool_config is None:
+            pool_lanes = max(8, min(lanes, 1024))
+            # keep lanes*steps (and so the frame store) constant: the store
+            # is the HBM budget (L * S * 9 slots * NF words) and the engine
+            # keeps up to two invocations in flight
+            pool_steps = max(2048, (512 * 16384) // pool_lanes)
             pool_config = PoolConfig(
                 max_len=config.max_len,
+                lanes=pool_lanes,
+                total_steps=pool_steps,
+                read_step_cap=min(2048, pool_steps),
                 compute_forward_part=config.compute_forward_part,
                 backward_only=self._is_backward_only,
             )

@@ -78,18 +78,18 @@ def _records_list(buf):
 def test_unmapped_roundtrip_gzip():
     recs = [
         _unmapped(b"r1", b"ACGTACGT", bytes([30] * 8),
-                  tags=[(b"XY", ("i", -5)), (b"ZA", ("Z", "hello"))]),
+                  tags=[(b"XY", "i", -5), (b"ZA", "Z", "hello")]),
         _unmapped(b"r2", b"TTTTA", bytes([2, 3, 4, 5, 6])),
         _unmapped(b"r3", b"GGGCCC", bytes([40] * 6),
-                  tags=[(b"XY", ("i", 123456))]),
+                  tags=[(b"XY", "i", 123456)]),
     ]
     out = _records_list(_write(recs))
     assert [r.name for r in out] == [b"r1", b"r2", b"r3"]
     assert [r.sequence for r in out] == [b"ACGTACGT", b"TTTTA", b"GGGCCC"]
     assert [r.quals for r in out] == [r["quals"] for r in recs]
-    assert out[0].tags == [(b"XY", ("i", -5)), (b"ZA", ("Z", "hello"))]
+    assert out[0].tags == [(b"XY", "i", -5), (b"ZA", "Z", "hello")]
     assert out[1].tags == []
-    assert out[2].tags == [(b"XY", ("i", 123456))]
+    assert out[2].tags == [(b"XY", "i", 123456)]
     assert all(r.flags == BF_UNMAPPED for r in out)
 
 

@@ -160,16 +160,18 @@ def k_mismatch_search_pool(
         index, pattern_rank, pen, n, split,
         compute_forward_part=config.compute_forward_part,
     )
-    # fuse the score LUT and base code into one row-gatherable table
+    # fuse the score LUT, base code AND the Bi-D array into ONE
+    # row-gatherable table -- they share the rid*M+pos row space, so the
+    # step's three table gathers collapse into a single (L, 3)-index one
     # (codes 0..4 are exact in f32)
     slut_flat = jnp.concatenate(
         [
             score_lut.reshape(R * M, 4),
             pattern_code.reshape(R * M, 1).astype(jnp.float32),
+            bid.reshape(R * M, 1),
         ],
         axis=1,
     )
-    bid_flat = bid.reshape(R * M)
     # fuse per-read constants into one row-gatherable i32 table
     consts = jnp.stack(
         [
@@ -316,18 +318,20 @@ def k_mismatch_search_pool(
 
         rid_c = jnp.clip(read_id, 0, R - 1)
         j_c = jnp.clip(j, 0, M - 1)
-        flat = rid_c * M + j_c
-        Srow = slut_flat[flat]  # (L, 5): scores + base code
-        Sj = Srow[:, :4]
-        pat_j = Srow[:, 4].astype(i32)
-
+        base = rid_c * M
         bk = jnp.clip(d_k, 0, M - 1)
         t = nn - (1 + d_l)
         ci = jnp.clip(t + c_split, 0, M - 1)
-        vals = bid_flat[jnp.stack([rid_c * M + bk, rid_c * M + ci], axis=1)]
-        d_rev = jnp.where((d_k >= 0) & (d_k < nn), vals[:, 0], jnp.float32(0.0))
+        rows3 = slut_flat[
+            jnp.stack([base + j_c, base + bk, base + ci], axis=1)
+        ]  # (L, 3, 6): one gather for scores+code+both Bi-D reads
+        Sj = rows3[:, 0, :4]
+        pat_j = rows3[:, 0, 4].astype(i32)
+        d_rev = jnp.where(
+            (d_k >= 0) & (d_k < nn), rows3[:, 1, 5], jnp.float32(0.0)
+        )
         d_fwd = jnp.where(
-            (t >= 0) & (t + c_split < nn), vals[:, 1], jnp.float32(0.0)
+            (t >= 0) & (t + c_split < nn), rows3[:, 2, 5], jnp.float32(0.0)
         )
         lb = (d_rev + d_fwd).astype(jnp.float32)
 

@@ -120,7 +120,10 @@ class DeviceSearchEngine:
             config = SearchConfig(compute_forward_part=not self._is_backward_only)
         self.config = config
         if pool_config is None:
-            pool_lanes = max(8, min(lanes, 1024))
+            # L=512 is empirically optimal on the v5e bench; wider pools
+            # slow down superlinearly (HBM-bound step ops), narrower ones
+            # underutilize (see ROADMAP "lane scaling")
+            pool_lanes = max(8, min(lanes, 512))
             # keep lanes*steps (and so the frame store) constant: the store
             # is the HBM budget (L * S * 9 slots * NF words) and the engine
             # keeps up to two invocations in flight

@@ -95,10 +95,13 @@ def build_parser() -> argparse.ArgumentParser:
     p_map.add_argument("-R", "--read_group", default=None,
                        help="Read group SAM header line "
                             "(e.g. '@RG\\tID:identifier1\\tSM:sample2')")
-    p_map.add_argument("--engine", choices=["device", "native", "oracle"],
-                       default="device",
-                       help="Search engine: batched TPU (device), multi-core "
-                            "host C++ (native), or sequential Python (oracle)")
+    p_map.add_argument("--engine",
+                       choices=["hybrid", "device", "native", "oracle"],
+                       default="hybrid",
+                       help="Search engine: TPU + host cores concurrently "
+                            "(hybrid, default), batched TPU only (device), "
+                            "multi-core host C++ (native), or sequential "
+                            "Python (oracle)")
     p_map.add_argument("--lanes", type=int, default=2048,
                        help="Device batch width (reads per device step)")
     p_map.add_argument("--profile", metavar="DIR", default=None,
@@ -222,15 +225,21 @@ def _dispatch(args):
                 index.fmd, params,
                 threads=args.num_threads if args.num_threads > 0 else None,
             )
-        elif args.engine == "device":
+        elif args.engine in ("device", "hybrid"):
             from .index import load_index
-            from .ops.engine import DeviceSearchEngine
+            from .ops.engine import DeviceSearchEngine, HybridSearchEngine
             from .utils.jaxcache import enable_compile_cache
 
             enable_compile_cache()
 
             index = load_index(args.reference)
-            engine = DeviceSearchEngine(index.fmd, params, lanes=args.lanes)
+            if args.engine == "hybrid":
+                engine = HybridSearchEngine(
+                    index.fmd, params, lanes=args.lanes,
+                    threads=args.num_threads if args.num_threads > 0 else None,
+                )
+            else:
+                engine = DeviceSearchEngine(index.fmd, params, lanes=args.lanes)
 
         from .map.pipeline import run as mapping_run
 

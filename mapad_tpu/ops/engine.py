@@ -565,3 +565,65 @@ class DeviceSearchEngine:
                 len(batch),
             )
         return results, escalated
+
+
+class HybridSearchEngine:
+    """Device pool + host native threads working each chunk concurrently.
+
+    The reference saturates every CPU core via rayon (mapping.rs:155); the
+    TPU-native analogue keeps the chip busy with the pool kernel while the
+    host cores run the exact native searcher on the chunk's tail.  The
+    split fraction adapts to the measured per-chunk throughputs, so the
+    two sides finish together regardless of hardware balance.  Both sides
+    are oracle-exact, so the merged output is too.
+    """
+
+    def __init__(self, fmd_index, parameters, lanes: int = 2048,
+                 threads: int | None = None, device_fraction: float = 0.45,
+                 **device_kw):
+        from ..map import native_search
+
+        self.device = DeviceSearchEngine(
+            fmd_index, parameters, lanes=lanes, **device_kw
+        )
+        self.native = None
+        if native_search.available():
+            self.native = native_search.NativeSearchEngine(
+                fmd_index, parameters, threads=threads
+            )
+        else:
+            logger.warning(
+                "native searcher unavailable; hybrid engine runs device-only"
+            )
+        self._p = device_fraction
+        self._stats = self.device._stats
+
+    def search_chunk(self, records):
+        import concurrent.futures
+
+        n = len(records)
+        if self.native is None or n < 256:
+            return self.device.search_chunk(records)
+        k = max(1, min(n - 1, int(n * self._p)))
+        dev_part, nat_part = records[:k], records[k:]
+        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
+            t0 = time.perf_counter()
+            fut = ex.submit(self._timed, self.native.search_chunk, nat_part)
+            dres = self.device.search_chunk(dev_part)
+            dev_dt = time.perf_counter() - t0
+            nres, nat_dt = fut.result()
+        rd = k / max(dev_dt, 1e-6)
+        rn = (n - k) / max(nat_dt, 1e-6)
+        new_p = rd / (rd + rn)
+        self._p = min(0.95, max(0.05, 0.5 * self._p + 0.5 * new_p))
+        logger.debug(
+            "hybrid split: device %d@%.0f r/s, native %d@%.0f r/s, p -> %.2f",
+            k, rd, n - k, rn, self._p,
+        )
+        return list(dres) + list(nres)
+
+    @staticmethod
+    def _timed(fn, part):
+        t0 = time.perf_counter()
+        out = fn(part)
+        return out, time.perf_counter() - t0

@@ -221,3 +221,34 @@ def test_pool_determinism(bench_fixture):
             assert x.interval == y.interval
             assert np.float32(x.alignment_score) == np.float32(y.alignment_score)
             assert x.edit_operations == y.edit_operations
+
+
+def test_hybrid_engine_equals_oracle(bench_fixture):
+    from mapad_tpu.map import native_search
+    from mapad_tpu.ops.engine import HybridSearchEngine
+    from mapad_tpu.ops.search_pool import PoolConfig
+
+    if not native_search.available():
+        pytest.skip("native searcher unavailable")
+    ref, fmd, _ = bench_fixture
+    params = _adna_params()
+    rng = np.random.default_rng(9)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    reads = []
+    for _ in range(300):  # >256 so the chunk actually splits
+        ln = int(rng.integers(20, 101))
+        start = int(rng.integers(0, len(ref) - ln))
+        seq = bytearray(ref[start : start + ln])
+        for _ in range(int(rng.integers(0, 3))):
+            seq[int(rng.integers(0, ln))] = int(rng.choice(bases))
+        reads.append(bytes(seq))
+
+    cfg = PoolConfig(max_len=128, lanes=16, total_steps=16384, max_chains=512,
+                     compute_forward_part=False)
+    engine = HybridSearchEngine(fmd, params, mode="pool", pool_config=cfg)
+    results = engine.search_chunk(_records(reads))
+    assert len(results) == len(reads)
+    assert 0.05 <= engine._p <= 0.95
+    for (hits, _dur), read in zip(results, reads):
+        oracle_hits = oracle_search(read, [40] * len(read), params, fmd)
+        assert_hits_equal(hits, oracle_hits, read[:16])

@@ -310,6 +310,10 @@ class DeviceSearchEngine:
             [r if len(r.sequence) <= cfg.max_len else _EMPTY for r in chunk],
             cfg.max_len, R,
         )
+        logger.debug(
+            "pool dispatch: prep %.0fms for %d reads",
+            (time.perf_counter() - t0) * 1e3, len(chunk),
+        )
         # padded/empty reads must reject everything and finish immediately
         n_host = np.asarray(prep["n"])
         thresh = np.asarray(prep["cutoff_thresh"]).copy()
@@ -326,8 +330,13 @@ class DeviceSearchEngine:
         return handle, t0
 
     def _collect_pool(self, chunk, handle, out, base, t0):
+        t_fetch = time.perf_counter()
         result = jax.tree.map(np.asarray, handle)
         elapsed = time.perf_counter() - t0
+        logger.debug(
+            "pool collect: device+fetch %.0fms (of %.0fms since dispatch)",
+            (time.perf_counter() - t_fetch) * 1e3, elapsed * 1e3,
+        )
         per_read = elapsed / max(len(chunk), 1)
         splits = [
             self.parameters.difference_model.find_alignment_start(
@@ -579,8 +588,10 @@ class HybridSearchEngine:
     """
 
     def __init__(self, fmd_index, parameters, lanes: int = 2048,
-                 threads: int | None = None, device_fraction: float = 0.45,
+                 threads: int | None = None, device_fraction: float = 0.6,
                  **device_kw):
+        import os as _os
+
         from ..map import native_search
 
         self.device = DeviceSearchEngine(
@@ -588,6 +599,11 @@ class HybridSearchEngine:
         )
         self.native = None
         if native_search.available():
+            # leave cores free for the device pipeline's host side (LUT
+            # prep, result collection, escalation fallbacks) -- saturating
+            # every core with native search starves the chip
+            if threads is None:
+                threads = max(1, (_os.cpu_count() or 2) - 2)
             self.native = native_search.NativeSearchEngine(
                 fmd_index, parameters, threads=threads
             )

@@ -17,6 +17,7 @@ so the ratio is comparable across rounds.
 """
 
 import json
+import logging
 import os
 import sys
 import time
@@ -87,6 +88,10 @@ def main():
     from mapad_tpu.ops.engine import DeviceSearchEngine
     from mapad_tpu.ops.search import SearchConfig
 
+    if os.environ.get("BENCH_DEBUG"):
+        logging.basicConfig(level=logging.DEBUG,
+                            format="%(asctime)s %(name)s %(message)s")
+        logging.getLogger("jax").setLevel(logging.WARNING)
     index = get_genome_index()
     dm = SimpleAncientDnaModel(
         ("single_stranded", 0.6, 0.55), 0.01, 1.0,

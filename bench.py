@@ -108,17 +108,18 @@ def main():
     config = SearchConfig(max_len=128, hit_cap=24, compute_forward_part=False)
     tier_s = int(os.environ.get("BENCH_TIER_S", 2048))
     engine_kind = os.environ.get("BENCH_ENGINE", "hybrid")
+    big = bool(os.environ.get("BENCH_BIG"))  # force int64 device mode
     if engine_kind == "hybrid":
         from mapad_tpu.ops.engine import HybridSearchEngine
 
         engine = HybridSearchEngine(
             index.fmd, params, lanes=LANES, config=config,
-            tiers=((tier_s, None),),
+            tiers=((tier_s, None),), big=big,
         )
     else:
         engine = DeviceSearchEngine(
             index.fmd, params, lanes=LANES, config=config,
-            tiers=((tier_s, None),),
+            tiers=((tier_s, None),), big=big,
         )
 
     reads = make_reads(index, N_READS)

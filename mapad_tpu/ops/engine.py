@@ -184,7 +184,15 @@ class DeviceSearchEngine:
         pattern_rank = np.where(n[:, None] > 0, _RANK_TABLE[seqs], 0)
         pattern_rank[seqs == 0] = 0
         pattern_code = BASE_TO_CODE[seqs].astype(np.int32)
-        score_lut, pen = _batch_luts(sdm, self.parameters, seqs, quals, n)
+        # LUT math only over real rows; padding rows are all-zero anyway
+        n_real = min(len(records), L)
+        score_lut = np.zeros((L, max_len, 4), dtype=np.float32)
+        pen = np.zeros((L, max_len), dtype=np.float32)
+        if n_real:
+            score_lut[:n_real], pen[:n_real] = _batch_luts(
+                sdm, self.parameters, seqs[:n_real], quals[:n_real],
+                n[:n_real],
+            )
 
         return dict(
             pattern_rank=jnp.asarray(pattern_rank),

@@ -55,6 +55,16 @@ def powi(base, n):
                 break
             a = np.float32(a * a)
         return r
+    if base.ndim == 0 and n.ndim > 0 and n.size:
+        # scalar base, array exponents: all values come from a tiny table
+        # of per-exponent scalar results (each k uses its own __powisf2
+        # multiplication tree, identical to the elementwise path)
+        kmax = int(n.max())
+        if 0 <= int(n.min()) and kmax <= 4096:
+            table = np.empty(kmax + 1, dtype=np.float32)
+            for k in range(kmax + 1):
+                table[k] = powi(base, k)
+            return table[np.asarray(n, dtype=np.int64)]
     # Vectorized: same multiplication tree per element
     base_b, n_b = np.broadcast_arrays(base, n)
     r = np.ones(base_b.shape, dtype=np.float32)

@@ -7,16 +7,27 @@ root frame for the next read from the pool (SURVEY.md hard part #3,
 "frontier compaction/rebatching across lanes").
 
 Key structures:
-- **Ring-buffered block pop.**  Each step writes one 9-candidate block;
-  a per-(lane, block) max key plus the writing step (the LIFO tie-break)
-  drive the pop.  Since live frames are at most `read_step_cap` steps
-  old, the pop index is a ring of CAP+1 blocks: the per-step reductions
-  are O(L * CAP), independent of the total step budget, while the full
-  frame store (needed for chain walks) keeps the whole history.  Maxima
-  are maintained exactly: push updates ride the shared-offset column DUS
-  (which also clears the reused ring slot for every lane), pop recomputes
-  the selected block's max from the already-gathered row, refill
-  invalidates the lane's key row.
+- **Two-level ring-buffered block pop.**  Each step writes one
+  9-candidate block into a *write-once* key ring `st_mono`; per
+  (lane, ring-block) an int32 pair `bm = [max_key, (step+1)<<9 | mask]`
+  tracks the block's max over unconsumed candidates, its writing step
+  (the LIFO tie-break) and a 9-bit consumed-candidate mask -- so popping
+  never scatters into the big ring (which would force XLA to copy all
+  ~40 MB of it every step; profiled round 2), only into the small pair
+  array.  A second level of per-superblock (`SB`=64 blocks) [key, step]
+  pairs brings per-step pop reads down to one (L, RBS) scan plus one
+  (L, SB, 2) windowed drill gather.  Maxima are maintained exactly:
+  push updates ride the shared-offset column DUS plus a max-combine
+  into the slot's superblock; pop recomputes the popped block's pair
+  from the already-gathered candidate row and re-maxes the drilled
+  superblock window.  Within one read's lifetime (<= CAP steps) no
+  ring slot is written twice (ring period is CAP+1), and a finished
+  read clears its lane's superblock row, so superblock keys never go
+  stale-high.  Stale *block* entries from finished reads are filtered
+  at drill time by a per-lane `lane_start` step watermark (frames older
+  than the current read's first step are dead), which replaces the old
+  full-ring invalidation pass.  Everything stays int32: int64 math is
+  emulated on TPU and profiled 5-10x slower for these passes.
 - **Per-read step cap.**  A lane abandons reads that exceed
   `read_step_cap` pops, writing an in-store abandon marker; the host
   escalates those reads to the exact native/host searcher.  No per-step
@@ -130,6 +141,19 @@ def k_mismatch_search_pool(
     # entries.  This keeps the per-step pop reductions O(L * CAP) instead
     # of O(L * S).
     RB = min(S, CAP + 1)
+    SB = 64  # ring blocks per superblock (pop level 2)
+    RBS = (RB + SB - 1) // SB
+    RBP = RBS * SB  # ring padded to whole superblocks (pad never written)
+    # (key, step) pack: 21 low bits carry step+1 so equal keys resolve to
+    # the newest writing step (LIFO); empty blocks are INT64_MIN which
+    # sorts below every real pack ((-2^31 << 21) + 1 > INT64_MIN).
+    assert S + 1 < (1 << 21), "step budget exceeds pack field"
+    STEP_MASK = (1 << 21) - 1
+    INT64_MIN = jnp.int64(-(2**63))
+
+    def pack_ks(key, step):
+        """i32 block max key + i32 writing step -> order-preserving i64."""
+        return (key.astype(jnp.int64) << 21) + (step + 1).astype(jnp.int64)
     lanes = jnp.arange(L, dtype=jnp.int32)
     i32 = jnp.int32
     INT_MIN = jnp.int32(-2147483648)
@@ -184,12 +208,11 @@ def k_mismatch_search_pool(
         axis=1,
     )  # (R, 5)
 
-    st_mono = jnp.full((L, RB, CANDS), INT_MIN, i32)
-    # per-(lane, ring-block) pop index: the block's max key, plus the step
-    # that wrote the block (the LIFO tie-break: among equal keys the block
-    # from the newest step wins, exactly the old downward-growth argmax rule)
-    bm_key = jnp.full((L, RB), INT_MIN, i32)
-    bm_step = jnp.full((L, RB), -1, i32)
+    st_mono = jnp.full((L, RBP, CANDS), INT_MIN, i32)
+    # two-level pop index (see module docstring)
+    bm_pack = jnp.full((L, RBP), INT64_MIN, jnp.int64)
+    sb_pack = jnp.full((L, RBS), INT64_MIN, jnp.int64)
+    lane_start = jnp.zeros((L,), i32)
     st_pack = jnp.zeros((L, SLOTS, NFP), i32)
 
     read_id = jnp.where(lanes < R, lanes, R)
@@ -217,30 +240,35 @@ def k_mismatch_search_pool(
 
     cand_iota = jax.lax.broadcasted_iota(i32, (L, CANDS), 1)
 
-    state = (st_mono, bm_key, bm_step, st_pack, read_id, fresh, lane_done,
-             next_read, lane_age, c_n, c_split, c_scale, c_thresh, c_repr,
-             best_score, best_size, hcount, jnp.int32(0))
+    state = (st_mono, bm_pack, sb_pack, lane_start, st_pack, read_id, fresh,
+             lane_done, next_read, lane_age, c_n, c_split, c_scale, c_thresh,
+             c_repr, best_score, best_size, hcount, jnp.int32(0))
 
     def cond(state):
-        lane_done, step = state[6], state[17]
+        lane_done, step = state[7], state[18]
         return jnp.logical_and(step < S, ~jnp.all(lane_done))
 
     def body(state):
-        (st_mono, bm_key, bm_step, st_pack, read_id, fresh, lane_done,
-         next_read, lane_age, c_n, c_split, c_scale, c_thresh, c_repr,
-         best_score, best_size, hcount, step) = state
+        (st_mono, bm_pack, sb_pack, lane_start, st_pack, read_id, fresh,
+         lane_done, next_read, lane_age, c_n, c_split, c_scale, c_thresh,
+         c_repr, best_score, best_size, hcount, step) = state
 
         active = ~lane_done
 
-        # --- pop: max key over the ring, LIFO ties resolved by the newest
-        # writing step (matches the old downward-growth argmax rule) ---
-        mkey = jnp.max(bm_key, axis=1)
-        popped = mkey > INT_MIN
-        tied = bm_key == mkey[:, None]
-        mstep = jnp.max(jnp.where(tied, bm_step, -1), axis=1)
-        sel_block = jnp.argmax(
-            tied & (bm_step == mstep[:, None]), axis=1
-        ).astype(i32)
+        # --- pop, level 1: best superblock (pack max == (key, step) lex
+        # max == the old flat argmax with LIFO tie-break) ---
+        msb = jnp.max(sb_pack, axis=1)
+        sel_sb = jnp.argmax(sb_pack == msb[:, None], axis=1).astype(i32)
+        # --- level 2: drill into the superblock's 64 block packs; mask
+        # out entries from previous (finished) reads of this lane ---
+        drow = bm_pack.reshape(L, RBS, SB)[lanes, sel_sb]  # (L, SB)
+        dstep = (drow & STEP_MASK).astype(i32) - 1
+        drow = jnp.where(dstep >= lane_start[:, None], drow, INT64_MIN)
+        mpack = jnp.max(drow, axis=1)
+        popped = mpack > INT64_MIN
+        sel_off = jnp.argmax(drow == mpack[:, None], axis=1).astype(i32)
+        sel_block = sel_sb * SB + sel_off
+        mstep = (mpack & STEP_MASK).astype(i32) - 1
         finish_empty = active & ~fresh & ~popped
         working = active & (fresh | popped)
 
@@ -255,10 +283,18 @@ def k_mismatch_search_pool(
         row2 = jnp.where(
             (cand_iota == off[:, None]) & do_pop[:, None], INT_MIN, row
         )
-        blk_eff = jnp.where(do_pop, sel_block, RB)
+        blk_eff = jnp.where(do_pop, sel_block, RBP)
         st_mono = st_mono.at[lanes, blk_eff].set(row2, mode="drop")
-        bm_key = bm_key.at[lanes, blk_eff].set(
-            jnp.max(row2, axis=1), mode="drop"
+        # downdate the popped block's pack and re-max its superblock from
+        # the already-gathered drill row
+        nbkey = jnp.max(row2, axis=1)
+        nbpack = jnp.where(nbkey > INT_MIN, pack_ks(nbkey, mstep), INT64_MIN)
+        bm_pack = bm_pack.at[lanes, blk_eff].set(nbpack, mode="drop")
+        sb_iota = jax.lax.broadcasted_iota(i32, (L, SB), 1)
+        drow2 = jnp.where(sb_iota == sel_off[:, None], nbpack[:, None], drow)
+        sb_eff = jnp.where(do_pop, sel_sb, RBS)
+        sb_pack = sb_pack.at[lanes, sb_eff].set(
+            jnp.max(drow2, axis=1), mode="drop"
         )
 
         frame = st_pack[lanes, jnp.clip(sel, 0, SLOTS - 1)]
@@ -490,13 +526,20 @@ def k_mismatch_search_pool(
         st_mono = jax.lax.dynamic_update_slice(
             st_mono, mono9[:, None, :], (jnp.int32(0), ring_blk, jnp.int32(0))
         )
-        bm_key = jax.lax.dynamic_update_slice(
-            bm_key, jnp.max(mono9, axis=1)[:, None], (jnp.int32(0), ring_blk)
+        bkey = jnp.max(mono9, axis=1)
+        bpack = jnp.where(bkey > INT_MIN, pack_ks(bkey, step), INT64_MIN)
+        bm_pack = jax.lax.dynamic_update_slice(
+            bm_pack, bpack[:, None], (jnp.int32(0), ring_blk)
         )
-        bm_step = jax.lax.dynamic_update_slice(
-            bm_step,
-            jnp.broadcast_to(step, (L,))[:, None],
-            (jnp.int32(0), ring_blk),
+        # max-combine into the slot's superblock.  Within a read's
+        # lifetime every ring slot is written at most once (CAP < RB), so
+        # overwriting can only bury packs of already-finished reads whose
+        # superblock entries were cleared at refill -- no stale-high risk.
+        ring_sb = ring_blk // SB
+        old_sb = jax.lax.dynamic_slice(sb_pack, (jnp.int32(0), ring_sb), (L, 1))
+        sb_pack = jax.lax.dynamic_update_slice(
+            sb_pack, jnp.maximum(old_sb, bpack[:, None]),
+            (jnp.int32(0), ring_sb),
         )
 
         hcount = hcount + jnp.sum(comp9, axis=1, dtype=i32)
@@ -511,10 +554,11 @@ def k_mismatch_search_pool(
         got_read = finish & (new_rid < R)
         fresh = got_read
         lane_done = lane_done | (finish & (new_rid >= R))
-        # unreachable-ify the finished read's remaining frames: one pass over
-        # the ring's pop keys (their entries are never revisited; ring slots
-        # are fully rewritten by each step's column DUS before reuse)
-        bm_key = jnp.where(finish[:, None], INT_MIN, bm_key)
+        # unreachable-ify the finished read's remaining frames: clear the
+        # lane's superblock row (selection level) and advance the step
+        # watermark (drill level filters by it); no full-ring pass needed
+        sb_pack = jnp.where(finish[:, None], INT64_MIN, sb_pack)
+        lane_start = jnp.where(finish, step + 1, lane_start)
 
         lane_age = jnp.where(finish, 0, lane_age + active.astype(i32))
         best_score = jnp.where(finish, NEG_INF, best_score)
@@ -527,13 +571,13 @@ def k_mismatch_search_pool(
         c_thresh = jnp.where(finish, nc[3], c_thresh)
         c_repr = jnp.where(finish, nc[4], c_repr)
 
-        return (st_mono, bm_key, bm_step, st_pack, read_id, fresh, lane_done,
-                next_read, lane_age, c_n, c_split, c_scale, c_thresh, c_repr,
-                best_score, best_size, hcount, step + 1)
+        return (st_mono, bm_pack, sb_pack, lane_start, st_pack, read_id,
+                fresh, lane_done, next_read, lane_age, c_n, c_split, c_scale,
+                c_thresh, c_repr, best_score, best_size, hcount, step + 1)
 
     state = jax.lax.while_loop(cond, body, state)
-    (st_mono, bm_key, bm_step, st_pack, read_id, fresh, lane_done, next_read,
-     lane_age, c_n, c_split, c_scale, c_thresh, c_repr,
+    (st_mono, bm_pack, sb_pack, lane_start, st_pack, read_id, fresh,
+     lane_done, next_read, lane_age, c_n, c_split, c_scale, c_thresh, c_repr,
      best_score, best_size, hcount, steps) = state
 
     lane_unfinished = ~lane_done & (read_id < R)

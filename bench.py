@@ -117,17 +117,22 @@ def main():
     tier_s = int(os.environ.get("BENCH_TIER_S", 2048))
     engine_kind = os.environ.get("BENCH_ENGINE", "hybrid")
     big = bool(os.environ.get("BENCH_BIG"))  # force int64 device mode
+    from mapad_tpu.map import native_post
+
+    packed = native_post.available() and not os.environ.get(
+        "MAPAD_NO_NATIVE_POST"
+    )
     if engine_kind == "hybrid":
         from mapad_tpu.ops.engine import HybridSearchEngine
 
         engine = HybridSearchEngine(
             index.fmd, params, lanes=LANES, config=config,
-            tiers=((tier_s, None),), big=big,
+            tiers=((tier_s, None),), big=big, packed_hits=packed,
         )
     else:
         engine = DeviceSearchEngine(
             index.fmd, params, lanes=LANES, config=config,
-            tiers=((tier_s, None),), big=big,
+            tiers=((tier_s, None),), big=big, packed_hits=packed,
         )
 
     reads = make_reads(index, N_READS)

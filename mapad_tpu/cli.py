@@ -216,6 +216,14 @@ def _dispatch(args):
             return 0
 
         engine = None
+        # Engines emit packed (flat-array) hits when the native C++
+        # postprocessor will consume them -- avoids building per-op Python
+        # objects on the hot output path.
+        from .map import native_post
+
+        packed = native_post.available() and not os.environ.get(
+            "MAPAD_NO_NATIVE_POST"
+        )
         if args.engine == "native":
             from .index import load_index
             from .map.native_search import NativeSearchEngine
@@ -224,6 +232,7 @@ def _dispatch(args):
             engine = NativeSearchEngine(
                 index.fmd, params,
                 threads=args.num_threads if args.num_threads > 0 else None,
+                packed_hits=packed,
             )
         elif args.engine in ("device", "hybrid"):
             from .index import load_index
@@ -237,9 +246,12 @@ def _dispatch(args):
                 engine = HybridSearchEngine(
                     index.fmd, params, lanes=args.lanes,
                     threads=args.num_threads if args.num_threads > 0 else None,
+                    packed_hits=packed,
                 )
             else:
-                engine = DeviceSearchEngine(index.fmd, params, lanes=args.lanes)
+                engine = DeviceSearchEngine(
+                    index.fmd, params, lanes=args.lanes, packed_hits=packed
+                )
 
         from .map.pipeline import run as mapping_run
 

@@ -304,6 +304,10 @@ class BamWriter:
     def write_record(self, rec: BamRecord):
         self._w.write(encode_record(rec))
 
+    def write_raw(self, data: bytes):
+        """Append pre-encoded BAM record bytes (native postprocess path)."""
+        self._w.write(data)
+
     def close(self):
         self._w.close()
 

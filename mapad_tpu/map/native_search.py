@@ -77,7 +77,8 @@ class NativeSearcher:
         self._sent = np.asarray(fmd.sentinel_occ, dtype=np.int64)
 
     def search(self, pattern_rank, pattern_code, n, score_lut, pen, split,
-               cutoff_scale, cutoff_thresh, repr_mm, params):
+               cutoff_scale, cutoff_thresh, repr_mm, params,
+               packed: bool = False):
         lib = _load()
         assert lib is not None
         n = int(n)
@@ -115,6 +116,18 @@ class NativeSearcher:
             ptr(hit_scores, ctypes.c_float), ptr(hit_ivals, ctypes.c_int64),
             ptr(ops_out, ctypes.c_uint32),
         )
+        if packed:
+            from .native_post import _EMPTY_PACKED, PackedHits
+
+            k = min(n_hits, self.MAX_HITS)
+            if k == 0:
+                return _EMPTY_PACKED
+            return PackedHits(
+                hit_ivals[: k * 3].reshape(k, 3).copy(),
+                hit_scores[:k].copy(),
+                ops_out[: k * stride].reshape(k, stride).copy().view(np.uint32),
+                int(split),
+            )
         hits = []
         for h in range(min(n_hits, self.MAX_HITS)):
             buckets = {}
@@ -157,7 +170,8 @@ class NativeSearchEngine:
     against the Python oracle).
     """
 
-    def __init__(self, fmd_index, parameters, threads: int | None = None):
+    def __init__(self, fmd_index, parameters, threads: int | None = None,
+                 packed_hits: bool = False):
         import os as _os
 
         assert available(), "native searcher not available"
@@ -165,6 +179,7 @@ class NativeSearchEngine:
         self.parameters = parameters
         self.threads = threads or _os.cpu_count() or 1
         self.searcher = NativeSearcher(fmd_index)
+        self.packed_hits = packed_hits
 
     def search_chunk(self, records):
         import time as _time
@@ -207,7 +222,7 @@ class NativeSearchEngine:
                 _RANK_TABLE[seqs[i, :ln]].astype(np.uint8),
                 BASE_TO_CODE[seqs[i, :ln]], ln, score_lut[i], pen[i],
                 sdm.find_alignment_start(ln), scale, thresh, repr_mm,
-                self.parameters,
+                self.parameters, packed=self.packed_hits,
             )
             return hits, _time.perf_counter() - t0
 

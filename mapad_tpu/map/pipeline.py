@@ -109,9 +109,25 @@ def run_inner(
     accelerator release the GIL."""
     from concurrent.futures import ThreadPoolExecutor
 
+    from . import native_post
+
     read_group_id = read_group[0] if read_group else None
 
+    # Hot output path: the whole chunk's coordinate resolution / MAPQ /
+    # CIGAR/MD / BAM encode runs in one GIL-released native call
+    # (byte-equivalent to the Python path below; tests/test_native_post.py).
+    native_pp = None
+    if native_post.available() and not os.environ.get("MAPAD_NO_NATIVE_POST"):
+        try:
+            native_pp = native_post.NativePostprocessor(
+                index, alignment_parameters, threads=max(threads, 1)
+            )
+        except Exception:  # pragma: no cover - fall back to Python path
+            logger.warning("native postprocessor init failed", exc_info=True)
+
     def convert(sheet, i, record, hits, duration):
+        if isinstance(hits, native_post.PackedHits):
+            hits = hits.decode()
         # Deterministic per-read RNG for PrRange position enumeration
         rng = SplitMixRng(
             (position_seed << 40) ^ (sheet.chunk_id << 20) ^ i
@@ -135,6 +151,13 @@ def run_inner(
     def postprocess(sheet, results):
         logger.debug("Write chunk %d of BAM records to output file",
                      sheet.chunk_id)
+        if native_pp is not None:
+            blob = native_pp.convert_chunk(
+                sheet.records, results, sheet.chunk_id, position_seed,
+                read_group,
+            )
+            writer.write_raw(blob)
+            return
         if convert_pool is not None:
             bam_records = list(
                 convert_pool.map(

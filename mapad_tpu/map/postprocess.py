@@ -118,7 +118,10 @@ def estimate_mapping_quality(
     best_alignment, best_alignment_interval_size, other_alignments, alignment_parameters
 ) -> int:
     """MAPQ (mapping.rs:655-718)."""
-    prob_best = np.float32(np.exp2(best_alignment.alignment_score))
+    # exp2/log10 are computed in float64 and rounded once to f32 (i.e. the
+    # correctly-rounded f32 function) so the native C++ postprocess path
+    # produces bit-identical MAPQ values.
+    prob_best = np.float32(np.exp2(np.float64(best_alignment.alignment_score)))
     if best_alignment_interval_size > 1:
         alignment_probability = np.float32(1.0) / np.float32(
             best_alignment_interval_size
@@ -129,7 +132,7 @@ def estimate_mapping_quality(
             if interval_cross_check(best_alignment.interval, sub.interval):
                 continue
             weighted = mul_add(
-                np.float32(np.exp2(sub.alignment_score)),
+                np.float32(np.exp2(np.float64(sub.alignment_score))),
                 np.float32(sub.interval.size),
                 weighted,
             )
@@ -139,7 +142,9 @@ def estimate_mapping_quality(
     with np.errstate(divide="ignore"):  # p == 1 -> -inf -> clamped to MAX_MAPQ
         raw = np.float32(
             np.float32(-10.0)
-            * np.float32(np.log10(np.float32(1.0) - alignment_probability))
+            * np.float32(
+                np.log10(np.float64(np.float32(1.0) - alignment_probability))
+            )
         )
     mapping_quality = _round_u8(np.minimum(raw, np.float32(MAX_MAPQ)))
 

@@ -101,13 +101,16 @@ class DeviceSearchEngine:
                  config: SearchConfig | None = None,
                  tiers: tuple = DEFAULT_TIERS, mode: str = "pool",
                  pool_config: "PoolConfig | None" = None,
-                 big: bool | None = None):
+                 big: bool | None = None, packed_hits: bool = False):
         import jax.numpy as jnp
 
         self.fmd = fmd_index
         self.parameters = parameters
         self.lanes = lanes
         self.mode = mode
+        # packed_hits: return hits as PackedHits (flat op-word arrays for
+        # the native postprocess path) instead of decoded HitInterval lists
+        self.packed_hits = packed_hits
         self.device_index = DeviceFmIndex.from_host(fmd_index, big=big)
         if self.device_index.big and mode != "pool":
             raise ValueError(
@@ -225,6 +228,8 @@ class DeviceSearchEngine:
     # --- hit reconstruction from device-walked op chains ---
 
     def _extract_hits(self, result, lane: int, split: int):
+        if self.packed_hits:
+            return self._packed_lane_hits(result, lane, split)
         hcount = int(result.hcount[lane])
         hits = []
         for h in range(hcount):
@@ -385,16 +390,61 @@ class DeviceSearchEngine:
             for i, record in enumerate(chunk):
                 if i in escalated:
                     continue
-                hits = [
-                    self._decode_chain(result, k, splits[i])
-                    for k in per_read_chains.get(i, [])
-                ]
+                ks = per_read_chains.get(i, [])
+                if self.packed_hits:
+                    hits = self._packed_chains(result, ks, splits[i])
+                else:
+                    hits = [
+                        self._decode_chain(result, k, splits[i]) for k in ks
+                    ]
                 out[base + i] = (hits, per_read)
 
         self._stats["device_lanes"] += len(chunk)
         self._stats["escalated"] += len(escalated)
         self._stats["batches"] += 1
         return escalated
+
+    def _packed_lane_hits(self, result, lane, split):
+        from ..map.native_post import _EMPTY_PACKED, PackedHits
+
+        hcount = int(result.hcount[lane])
+        if hcount == 0:
+            return _EMPTY_PACKED
+        ivals = np.stack(
+            [
+                np.asarray(result.h_lower[lane, :hcount], dtype=np.int64),
+                np.asarray(result.h_lrev[lane, :hcount], dtype=np.int64),
+                np.asarray(result.h_size[lane, :hcount], dtype=np.int64),
+            ],
+            axis=1,
+        )
+        return PackedHits(
+            ivals,
+            np.asarray(result.h_score[lane, :hcount], dtype=np.float32),
+            np.asarray(result.h_ops[lane, :hcount]).astype(np.uint32, copy=False),
+            int(split),
+        )
+
+    def _packed_chains(self, result, ks, split):
+        from ..map.native_post import _EMPTY_PACKED, PackedHits
+
+        if not ks:
+            return _EMPTY_PACKED
+        ks = np.asarray(ks, dtype=np.int64)
+        ivals = np.stack(
+            [
+                np.asarray(result.c_lower[ks], dtype=np.int64),
+                np.asarray(result.c_lrev[ks], dtype=np.int64),
+                np.asarray(result.c_size[ks], dtype=np.int64),
+            ],
+            axis=1,
+        )
+        return PackedHits(
+            ivals,
+            np.asarray(result.c_score[ks], dtype=np.float32),
+            np.asarray(result.c_ops[ks]).astype(np.uint32, copy=False),
+            int(split),
+        )
 
     def _decode_chain(self, result, k, split):
         buckets: dict[int, list] = {}
@@ -538,6 +588,7 @@ class DeviceSearchEngine:
             _RANK_TABLE[seq].astype(np.uint8), BASE_TO_CODE[seq], ln,
             score_lut[0], pen[0], sdm.find_alignment_start(ln),
             scale, thresh, repr_mm, self.parameters,
+            packed=self.packed_hits,
         )
 
     def _dispatch_batch(self, batch, params, config, lanes=None):
@@ -597,14 +648,16 @@ class HybridSearchEngine:
 
     def __init__(self, fmd_index, parameters, lanes: int = 2048,
                  threads: int | None = None, device_fraction: float = 0.6,
-                 **device_kw):
+                 packed_hits: bool = False, **device_kw):
         import os as _os
 
         from ..map import native_search
 
         self.device = DeviceSearchEngine(
-            fmd_index, parameters, lanes=lanes, **device_kw
+            fmd_index, parameters, lanes=lanes, packed_hits=packed_hits,
+            **device_kw
         )
+        self.packed_hits = packed_hits
         self.native = None
         if native_search.available():
             # leave cores free for the device pipeline's host side (LUT
@@ -613,7 +666,8 @@ class HybridSearchEngine:
             if threads is None:
                 threads = max(1, (_os.cpu_count() or 2) - 2)
             self.native = native_search.NativeSearchEngine(
-                fmd_index, parameters, threads=threads
+                fmd_index, parameters, threads=threads,
+                packed_hits=packed_hits,
             )
         else:
             logger.warning(

@@ -167,6 +167,34 @@ def test_pool_engine_equals_oracle(bench_fixture):
         assert_hits_equal(hits, oracle_hits, read[:16])
 
 
+def test_pool_engine_packed_hits_equals_oracle(bench_fixture):
+    # packed_hits=True: the engine emits flat PackedHits (native-postprocess
+    # input format) instead of decoded HitInterval lists; decode() must
+    # reproduce the oracle exactly, including via the escalation fallback.
+    from mapad_tpu.map.native_post import PackedHits
+    from mapad_tpu.ops.search_pool import PoolConfig
+
+    ref, fmd, _ = bench_fixture
+    params = _adna_params()
+    reads = [
+        l.strip().encode()
+        for l in open(os.path.join(HERE, "data", "bench_reads.txt"))
+    ]
+    reads.append(ref[1000:1200])  # overlong -> native/oracle fallback path
+    cfg = PoolConfig(max_len=128, lanes=16, total_steps=16384, max_chains=512,
+                     compute_forward_part=False)
+    engine = DeviceSearchEngine(fmd, params, mode="pool", pool_config=cfg,
+                                packed_hits=True)
+    results = engine.search_chunk(_records(reads))
+    n_nonempty = 0
+    for (hits, _dur), read in zip(results, reads):
+        assert isinstance(hits, PackedHits)
+        n_nonempty += bool(hits)
+        oracle_hits = oracle_search(read, [40] * len(read), params, fmd)
+        assert_hits_equal(hits.decode(), oracle_hits, read[:16])
+    assert n_nonempty > 0
+
+
 def test_pool_abandon_escalates_to_exact_fallback(bench_fixture):
     # A tiny per-read step cap forces abandon markers; those reads must be
     # re-run exactly (native/oracle), not silently truncated.

@@ -273,9 +273,22 @@ def test_integration_local(tmp_path):
     _check_results(out)
 
 
-def test_integration_local_threaded_postprocess(tmp_path):
+def test_integration_local_python_postprocess(tmp_path, monkeypatch):
+    # Force the pure-Python output path (run_inner uses the native C++
+    # postprocessor when available); goldens must hold on both.
+    monkeypatch.setenv("MAPAD_NO_NATIVE_POST", "1")
+    genome, input_bam, params = prepare(tmp_path)
+    out = tmp_path / "output_reads_pypost.bam"
+    mapping_run(str(input_bam), str(genome), str(out), False, params, None,
+                cmdline="mapad map")
+    _check_results(out)
+
+
+def test_integration_local_threaded_postprocess(tmp_path, monkeypatch):
     # threads > 1 parallelizes per-record BAM conversion; output must stay
-    # byte-for-byte deterministic (order + per-read RNG)
+    # byte-for-byte deterministic (order + per-read RNG).  Native post is
+    # disabled so the threaded *Python* conversion pool is what runs.
+    monkeypatch.setenv("MAPAD_NO_NATIVE_POST", "1")
     genome, input_bam, params = prepare(tmp_path)
     out = tmp_path / "output_reads_mt.bam"
     mapping_run(str(input_bam), str(genome), str(out), False, params, None,

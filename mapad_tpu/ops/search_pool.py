@@ -90,6 +90,17 @@ class PoolConfig(NamedTuple):
     # always Backward; setting this statically removes every direction
     # select from the step.
     backward_only: bool = True
+    # Performance-ablation flags (tools/ablate_pool.py ONLY -- every flag
+    # breaks search semantics; used to attribute per-step cost on real HW):
+    #   "pop"    round-robin block selection instead of the two-level pop
+    #   "extend" skip the occ-row gathers (synthesize child intervals)
+    #   "lut"    skip the score/Bi-D row gather (constant scores)
+    #   "frame"  skip the st_pack frame row gather
+    #   "store"  skip the st_pack history column write
+    #   "ring"   skip the st_mono/bm/sb pop-structure writes
+    debug_ablate: tuple = ()
+    # Fixed step count for ablation timing (0 = normal termination)
+    debug_fixed_steps: int = 0
 
 
 class PoolResult(NamedTuple):
@@ -246,6 +257,8 @@ def k_mismatch_search_pool(
 
     def cond(state):
         lane_done, step = state[7], state[18]
+        if config.debug_fixed_steps:
+            return step < min(S, config.debug_fixed_steps)
         return jnp.logical_and(step < S, ~jnp.all(lane_done))
 
     def body(state):
@@ -257,18 +270,28 @@ def k_mismatch_search_pool(
 
         # --- pop, level 1: best superblock (pack max == (key, step) lex
         # max == the old flat argmax with LIFO tie-break) ---
-        msb = jnp.max(sb_pack, axis=1)
-        sel_sb = jnp.argmax(sb_pack == msb[:, None], axis=1).astype(i32)
-        # --- level 2: drill into the superblock's 64 block packs; mask
-        # out entries from previous (finished) reads of this lane ---
-        drow = bm_pack.reshape(L, RBS, SB)[lanes, sel_sb]  # (L, SB)
-        dstep = (drow & STEP_MASK).astype(i32) - 1
-        drow = jnp.where(dstep >= lane_start[:, None], drow, INT64_MIN)
-        mpack = jnp.max(drow, axis=1)
-        popped = mpack > INT64_MIN
-        sel_off = jnp.argmax(drow == mpack[:, None], axis=1).astype(i32)
-        sel_block = sel_sb * SB + sel_off
-        mstep = (mpack & STEP_MASK).astype(i32) - 1
+        if "pop" in config.debug_ablate:
+            sel_block = jnp.broadcast_to(
+                jnp.remainder(step, RB).astype(i32), (L,)
+            )
+            sel_sb = sel_block // SB
+            sel_off = sel_block - sel_sb * SB
+            mstep = jnp.broadcast_to(jnp.maximum(step - 1, 0), (L,))
+            popped = jnp.broadcast_to(step > 0, (L,))
+            drow = jnp.zeros((L, SB), jnp.int64)
+        else:
+            msb = jnp.max(sb_pack, axis=1)
+            sel_sb = jnp.argmax(sb_pack == msb[:, None], axis=1).astype(i32)
+            # --- level 2: drill into the superblock's 64 block packs; mask
+            # out entries from previous (finished) reads of this lane ---
+            drow = bm_pack.reshape(L, RBS, SB)[lanes, sel_sb]  # (L, SB)
+            dstep = (drow & STEP_MASK).astype(i32) - 1
+            drow = jnp.where(dstep >= lane_start[:, None], drow, INT64_MIN)
+            mpack = jnp.max(drow, axis=1)
+            popped = mpack > INT64_MIN
+            sel_off = jnp.argmax(drow == mpack[:, None], axis=1).astype(i32)
+            sel_block = sel_sb * SB + sel_off
+            mstep = (mpack & STEP_MASK).astype(i32) - 1
         finish_empty = active & ~fresh & ~popped
         working = active & (fresh | popped)
 
@@ -280,24 +303,32 @@ def k_mismatch_search_pool(
         sel = blk_full * CANDS + off
 
         do_pop = working & ~fresh
-        row2 = jnp.where(
-            (cand_iota == off[:, None]) & do_pop[:, None], INT_MIN, row
-        )
-        blk_eff = jnp.where(do_pop, sel_block, RBP)
-        st_mono = st_mono.at[lanes, blk_eff].set(row2, mode="drop")
-        # downdate the popped block's pack and re-max its superblock from
-        # the already-gathered drill row
-        nbkey = jnp.max(row2, axis=1)
-        nbpack = jnp.where(nbkey > INT_MIN, pack_ks(nbkey, mstep), INT64_MIN)
-        bm_pack = bm_pack.at[lanes, blk_eff].set(nbpack, mode="drop")
-        sb_iota = jax.lax.broadcasted_iota(i32, (L, SB), 1)
-        drow2 = jnp.where(sb_iota == sel_off[:, None], nbpack[:, None], drow)
-        sb_eff = jnp.where(do_pop, sel_sb, RBS)
-        sb_pack = sb_pack.at[lanes, sb_eff].set(
-            jnp.max(drow2, axis=1), mode="drop"
-        )
+        if "ring" not in config.debug_ablate:
+            row2 = jnp.where(
+                (cand_iota == off[:, None]) & do_pop[:, None], INT_MIN, row
+            )
+            blk_eff = jnp.where(do_pop, sel_block, RBP)
+            st_mono = st_mono.at[lanes, blk_eff].set(row2, mode="drop")
+            # downdate the popped block's pack and re-max its superblock from
+            # the already-gathered drill row
+            nbkey = jnp.max(row2, axis=1)
+            nbpack = jnp.where(
+                nbkey > INT_MIN, pack_ks(nbkey, mstep), INT64_MIN
+            )
+            bm_pack = bm_pack.at[lanes, blk_eff].set(nbpack, mode="drop")
+            sb_iota = jax.lax.broadcasted_iota(i32, (L, SB), 1)
+            drow2 = jnp.where(
+                sb_iota == sel_off[:, None], nbpack[:, None], drow
+            )
+            sb_eff = jnp.where(do_pop, sel_sb, RBS)
+            sb_pack = sb_pack.at[lanes, sb_eff].set(
+                jnp.max(drow2, axis=1), mode="drop"
+            )
 
-        frame = st_pack[lanes, jnp.clip(sel, 0, SLOTS - 1)]
+        if "frame" in config.debug_ablate:
+            frame = jnp.zeros((L, NFP), i32)
+        else:
+            frame = st_pack[lanes, jnp.clip(sel, 0, SLOTS - 1)]
         f_score = jnp.where(fresh, jnp.float32(0.0), mono_inv(f_mono))
         if BIG:
             fr_lower = _unpack64(frame[:, F_LOWER], frame[:, NF + 0])
@@ -358,18 +389,23 @@ def k_mismatch_search_pool(
         bk = jnp.clip(d_k, 0, M - 1)
         t = nn - (1 + d_l)
         ci = jnp.clip(t + c_split, 0, M - 1)
-        rows3 = slut_flat[
-            jnp.stack([base + j_c, base + bk, base + ci], axis=1)
-        ]  # (L, 3, 6): one gather for scores+code+both Bi-D reads
-        Sj = rows3[:, 0, :4]
-        pat_j = rows3[:, 0, 4].astype(i32)
-        d_rev = jnp.where(
-            (d_k >= 0) & (d_k < nn), rows3[:, 1, 5], jnp.float32(0.0)
-        )
-        d_fwd = jnp.where(
-            (t >= 0) & (t + c_split < nn), rows3[:, 2, 5], jnp.float32(0.0)
-        )
-        lb = (d_rev + d_fwd).astype(jnp.float32)
+        if "lut" in config.debug_ablate:
+            Sj = jnp.full((L, 4), -1.0, jnp.float32)
+            pat_j = jnp.zeros((L,), i32)
+            lb = jnp.zeros((L,), jnp.float32)
+        else:
+            rows3 = slut_flat[
+                jnp.stack([base + j_c, base + bk, base + ci], axis=1)
+            ]  # (L, 3, 6): one gather for scores+code+both Bi-D reads
+            Sj = rows3[:, 0, :4]
+            pat_j = rows3[:, 0, 4].astype(i32)
+            d_rev = jnp.where(
+                (d_k >= 0) & (d_k < nn), rows3[:, 1, 5], jnp.float32(0.0)
+            )
+            d_fwd = jnp.where(
+                (t >= 0) & (t + c_split < nn), rows3[:, 2, 5], jnp.float32(0.0)
+            )
+            lb = (d_rev + d_fwd).astype(jnp.float32)
 
         def reject(v):
             return (v / c_scale) < c_thresh
@@ -379,7 +415,15 @@ def k_mismatch_search_pool(
         finish_stop = working & stop & ~abandon
         still = working & ~stop & ~abandon
 
-        ch_lower, ch_lrev, ch_size = extend_batch(index, ext_lower, ext_lrev, f_size)
+        if "extend" in config.debug_ablate:
+            q = (f_size // 4).astype(IDT)
+            ch_size = jnp.stack([q, q, q, f_size - 3 * q], axis=1)
+            ch_lower = ext_lower[:, None] + ch_size
+            ch_lrev = ext_lrev[:, None] + ch_size
+        else:
+            ch_lower, ch_lrev, ch_size = extend_batch(
+                index, ext_lower, ext_lrev, f_size
+            )
         if config.backward_only:
             out_lower, out_lrev = ch_lower, ch_lrev
         else:
@@ -518,29 +562,35 @@ def k_mismatch_search_pool(
         # the pop structures live at the same block index modulo the ring
         blk = S - 1 - step
         base_slot = blk * CANDS
-        st_pack = jax.lax.dynamic_update_slice(
-            st_pack, pack9[:, ::-1, :], (jnp.int32(0), base_slot, jnp.int32(0))
-        )
-        mono9 = jnp.where(push9, mono(score9), INT_MIN)[:, ::-1]
-        ring_blk = jnp.remainder(blk, RB)
-        st_mono = jax.lax.dynamic_update_slice(
-            st_mono, mono9[:, None, :], (jnp.int32(0), ring_blk, jnp.int32(0))
-        )
-        bkey = jnp.max(mono9, axis=1)
-        bpack = jnp.where(bkey > INT_MIN, pack_ks(bkey, step), INT64_MIN)
-        bm_pack = jax.lax.dynamic_update_slice(
-            bm_pack, bpack[:, None], (jnp.int32(0), ring_blk)
-        )
-        # max-combine into the slot's superblock.  Within a read's
-        # lifetime every ring slot is written at most once (CAP < RB), so
-        # overwriting can only bury packs of already-finished reads whose
-        # superblock entries were cleared at refill -- no stale-high risk.
-        ring_sb = ring_blk // SB
-        old_sb = jax.lax.dynamic_slice(sb_pack, (jnp.int32(0), ring_sb), (L, 1))
-        sb_pack = jax.lax.dynamic_update_slice(
-            sb_pack, jnp.maximum(old_sb, bpack[:, None]),
-            (jnp.int32(0), ring_sb),
-        )
+        if "store" not in config.debug_ablate:
+            st_pack = jax.lax.dynamic_update_slice(
+                st_pack, pack9[:, ::-1, :],
+                (jnp.int32(0), base_slot, jnp.int32(0)),
+            )
+        if "ring" not in config.debug_ablate:
+            mono9 = jnp.where(push9, mono(score9), INT_MIN)[:, ::-1]
+            ring_blk = jnp.remainder(blk, RB)
+            st_mono = jax.lax.dynamic_update_slice(
+                st_mono, mono9[:, None, :],
+                (jnp.int32(0), ring_blk, jnp.int32(0)),
+            )
+            bkey = jnp.max(mono9, axis=1)
+            bpack = jnp.where(bkey > INT_MIN, pack_ks(bkey, step), INT64_MIN)
+            bm_pack = jax.lax.dynamic_update_slice(
+                bm_pack, bpack[:, None], (jnp.int32(0), ring_blk)
+            )
+            # max-combine into the slot's superblock.  Within a read's
+            # lifetime every ring slot is written at most once (CAP < RB), so
+            # overwriting can only bury packs of already-finished reads whose
+            # superblock entries were cleared at refill -- no stale-high risk.
+            ring_sb = ring_blk // SB
+            old_sb = jax.lax.dynamic_slice(
+                sb_pack, (jnp.int32(0), ring_sb), (L, 1)
+            )
+            sb_pack = jax.lax.dynamic_update_slice(
+                sb_pack, jnp.maximum(old_sb, bpack[:, None]),
+                (jnp.int32(0), ring_sb),
+            )
 
         hcount = hcount + jnp.sum(comp9, axis=1, dtype=i32)
         finish_hits = still & ((hcount > 9) | (best_size > 1))

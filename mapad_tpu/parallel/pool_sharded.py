@@ -1,0 +1,123 @@
+"""Mesh-sharded execution of the production pool search kernel.
+
+Multi-chip data parallelism for `k_mismatch_search_pool` (the engine behind
+the headline bench): reads and lanes are partitioned over the mesh's 'data'
+axis with `shard_map`, the FMD-index and scalar params replicate, and each
+shard runs its *own* persistent search loop to completion -- there is no
+lock-step barrier between devices, so a shard whose reads finish early
+stops stepping instead of idling behind the slowest shard (the multi-chip
+analogue of the reference's dynamic dispatcher/worker work distribution,
+src/distributed/dispatcher.rs:103-338, re-designed for SPMD: the static
+read split replaces the TCP work queue).
+
+Each shard's result keeps *local* read ids; the wrapper re-bases them to
+global ids with the shard's offset and stacks every result field along a
+leading device axis so the host collector can process shards independently
+(completion-order slot semantics hold within a shard).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.search_pool import PoolConfig, PoolResult, k_mismatch_search_pool
+
+
+def shard_reads(mesh: Mesh, prep: dict, axis: str = "data") -> dict:
+    """Place per-read arrays sharded along the mesh axis (R must divide)."""
+    sh = NamedSharding(mesh, P(axis))
+    return {k: jax.device_put(v, sh) for k, v in prep.items()}
+
+
+def pool_search_sharded(
+    mesh: Mesh,
+    index,
+    prep: dict,
+    params,
+    config: PoolConfig,
+    axis: str = "data",
+) -> PoolResult:
+    """Run the pool kernel as one SPMD program over `mesh`.
+
+    `prep` holds the per-read arrays (pattern_rank, pattern_code, n,
+    score_lut, pen, split, cutoff_scale, cutoff_thresh, repr_mm) with a
+    leading read axis R divisible by the mesh size; `config.lanes` is the
+    per-shard lane count.  Returns a PoolResult whose fields all have a
+    leading device axis (D, ...); c_read / lane_read are global read ids.
+    """
+    from jax import shard_map
+
+    D = mesh.shape[axis]
+    R = prep["n"].shape[0]
+    assert R % D == 0, f"reads {R} must divide mesh size {D}"
+    R_local = R // D
+
+    keys = (
+        "pattern_rank", "pattern_code", "n", "score_lut", "pen", "split",
+        "cutoff_scale", "cutoff_thresh", "repr_mm",
+    )
+    arrays = [prep[k] for k in keys]
+
+    def shard_fn(index, *arrays):
+        res = k_mismatch_search_pool(index, *arrays, params, config)
+        base = jax.lax.axis_index(axis).astype(jnp.int32) * R_local
+        # local -> global read ids; the "no read" sentinel (local R) maps to
+        # a value >= global R so host-side `rid < len(chunk)` checks hold
+        c_read = jnp.where(res.c_read >= 0, res.c_read + base, -1)
+        lane_read = jnp.where(
+            res.lane_read < R_local, res.lane_read + base, R
+        )
+        res = res._replace(
+            c_read=c_read, lane_read=lane_read,
+            next_read=res.next_read + base,
+        )
+        return jax.tree.map(lambda x: jnp.asarray(x)[None], res)
+
+    in_specs = (
+        jax.tree.map(lambda _: P(), index),  # replicated index
+    ) + tuple(P(axis) for _ in arrays)
+    out_specs = jax.tree.map(lambda _: P(axis), PoolResult(
+        *([0] * len(PoolResult._fields))
+    ))
+
+    fn = shard_map(
+        shard_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    return fn(index, *arrays)
+
+
+def collect_sharded(engine, chunk, result: PoolResult, out, t0):
+    """Host-side collection of a sharded PoolResult.
+
+    Mirrors DeviceSearchEngine._collect_pool per shard: shard d owns reads
+    [d*R_local, (d+1)*R_local).  Returns the set of escalated global read
+    indices.
+    """
+    result = jax.tree.map(np.asarray, result)
+    D = result.c_read.shape[0]
+    R_local = (len(chunk) + D - 1) // D
+    escalated = set()
+    for d in range(D):
+        shard_res = jax.tree.map(lambda x: x[d], result)
+        lo = d * R_local
+        hi = min(lo + R_local, len(chunk))
+        sub = chunk[lo:hi]
+        # shard-local result already carries global read ids; collect with
+        # a base of 0 but a chunk slice offset by lo, so re-base ids here
+        shard_res = shard_res._replace(
+            c_read=np.where(
+                shard_res.c_read >= 0, shard_res.c_read - lo, -1
+            ),
+            lane_read=np.where(
+                shard_res.lane_read < len(chunk), shard_res.lane_read - lo,
+                len(sub),
+            ),
+            next_read=min(max(int(shard_res.next_read) - lo, 0), len(sub)),
+        )
+        esc = engine._collect_pool(sub, shard_res, out, lo, t0)
+        escalated.update(lo + i for i in esc)
+    return escalated

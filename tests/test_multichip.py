@@ -60,3 +60,95 @@ def test_sharded_search_equals_single_device():
     assert np.array_equal(got.h_lower, base.h_lower)
     assert np.array_equal(got.h_ops, base.h_ops)
     assert np.allclose(got.h_score, base.h_score, equal_nan=True)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_pool_kernel_equals_oracle():
+    """The PRODUCTION pool kernel, sharded over the mesh via shard_map,
+    must produce the oracle's exact hit sets for every read (VERDICT.md
+    round-1 item 4: same kernel the bench uses, realistic read count)."""
+    import os
+
+    import numpy as np
+
+    from mapad_tpu.index.builder import build_auxiliary_structures
+    from mapad_tpu.map import AlignmentParameters
+    from mapad_tpu.map.oracle import k_mismatch_search as oracle_search
+    from mapad_tpu.map.record import Record
+    from mapad_tpu.models import Discrete, SimpleAncientDnaModel
+    from mapad_tpu.ops.engine import DeviceSearchEngine
+    from mapad_tpu.ops.search import SearchConfig
+    from mapad_tpu.ops.search_pool import PoolConfig
+    from mapad_tpu.parallel.pool_sharded import (
+        collect_sharded,
+        pool_search_sharded,
+        shard_reads,
+    )
+    from mapad_tpu.parallel.sharding import make_mesh
+
+    HERE = os.path.dirname(os.path.abspath(__file__))
+    ref = open(os.path.join(HERE, "data", "bench_ref.txt")).read().strip().encode()
+    fmd, _ = build_auxiliary_structures(ref, b"ACGT")
+
+    dm = SimpleAncientDnaModel(
+        ("single_stranded", 0.475, 0.475), 0.001, 0.9,
+        np.float32(0.02) / np.float32(3.0), False,
+    )
+    repr_mm = dm.get_representative_mismatch_penalty()
+    params = AlignmentParameters(
+        difference_model=dm, mismatch_bound=Discrete(0.04, 0.02, repr_mm),
+        penalty_gap_open=np.log2(np.float32(0.00001)),
+        penalty_gap_extend=repr_mm, chunk_size=1000, gap_dist_ends=5,
+        stack_limit_abort=False, max_num_gaps_open=2,
+    )
+
+    rng = np.random.default_rng(17)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    R = 256  # 32 reads per shard
+    reads = []
+    for _ in range(R):
+        ln = int(rng.integers(20, 101))
+        start = int(rng.integers(0, len(ref) - ln))
+        seq = bytearray(ref[start : start + ln])
+        for _ in range(int(rng.integers(0, 3))):
+            seq[int(rng.integers(0, ln))] = int(rng.choice(bases))
+        reads.append(
+            Record(sequence=bytes(seq), base_qualities=bytes([40] * ln))
+        )
+
+    cfg = PoolConfig(max_len=128, lanes=8, total_steps=8192, max_chains=1024,
+                     compute_forward_part=False)
+    engine = DeviceSearchEngine(
+        fmd, params, mode="pool", pool_config=cfg,
+        config=SearchConfig(max_len=128, compute_forward_part=False),
+    )
+    prep = engine._prepare(reads, cfg.max_len, R)
+    mesh = make_mesh(8)
+    sharded_prep = shard_reads(mesh, prep)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    index = jax.device_put(engine.device_index, NamedSharding(mesh, P()))
+    result = pool_search_sharded(mesh, index, sharded_prep, engine._params(),
+                                 cfg)
+
+    import time
+
+    out = [None] * R
+    escalated = collect_sharded(engine, reads, result, out, time.perf_counter())
+    # escalated reads go through the exact host fallback, same as the engine
+    for i in sorted(escalated):
+        out[i] = engine._fallback_one(reads, i)[1]
+
+    assert sum(1 for o in out if o is None) == 0
+    n_nonempty = 0
+    for record, (hits, _dur) in zip(reads, out):
+        want = oracle_search(
+            record.sequence, record.base_qualities, params, fmd
+        )
+        assert len(hits) == len(want)
+        n_nonempty += bool(want)
+        for d, o in zip(hits, want):
+            assert d.interval == o.interval
+            assert np.float32(d.alignment_score) == np.float32(o.alignment_score)
+            assert d.edit_operations == o.edit_operations
+    assert n_nonempty >= R // 2

@@ -27,6 +27,7 @@ from ..models.bounds import Continuous, TestBound
 from ..utils.seq import BASE_TO_CODE, CODE_TO_BASE
 from .fm import DeviceFmIndex
 from .search_pool import PoolConfig, k_mismatch_search_pool
+from .search_pool2 import k_mismatch_search_pool2
 from .search import (
     OP_DELETION,
     OP_MISMATCH,
@@ -37,6 +38,16 @@ from .search import (
 )
 
 logger = logging.getLogger(__name__)
+
+# Pool kernel generation: "2" (default) is the scatter-free step
+# (ops/search_pool2.py); "1" keeps the gen-1 kernel for comparison.
+_POOL_IMPLS = {"1": k_mismatch_search_pool, "2": k_mismatch_search_pool2}
+
+
+def _pool_impl():
+    import os
+
+    return _POOL_IMPLS[os.environ.get("MAPAD_POOL_IMPL", "2")]
 
 _RANK_TABLE = np.zeros(256, dtype=np.int32)
 for _i, _c in enumerate(b"ACGT"):
@@ -334,7 +345,7 @@ class DeviceSearchEngine:
         import jax.numpy as jnp
 
         prep["cutoff_thresh"] = jnp.asarray(thresh)
-        handle = k_mismatch_search_pool(
+        handle = _pool_impl()(
             self.device_index, prep["pattern_rank"], prep["pattern_code"],
             prep["n"], prep["score_lut"], prep["pen"], prep["split"],
             prep["cutoff_scale"], prep["cutoff_thresh"], prep["repr_mm"],

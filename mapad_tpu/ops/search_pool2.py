@@ -1,0 +1,565 @@
+"""Persistent-pool search, generation 2: scatter-free step.
+
+Same semantics as ops/search_pool.py (strict best-first pop order with LIFO
+tie-breaks, identical f32 score arithmetic, per-read step cap with abandon
+markers, hits in the store) but the step is restructured around what the
+round-2 on-chip profile showed actually costs time (tools/ablate_pool.py +
+trace): per-lane scatters (~45 us each), the st_mono HBM<->VMEM round trip
+they force (~100 us), and ~245 tiny-op launch overheads.
+
+Key changes vs gen 1:
+
+- **No st_mono score ring and no scatters.**  Candidate scores are
+  re-derived from the frame store itself: each pushed candidate's op word
+  carries OP_PUSHED_BIT, and the popped block's 9 records are fetched with
+  one (L, 9, NF) gather; the monotone i32 pop keys are recomputed from the
+  stored f32 score bits.  Pop bookkeeping is two small dense arrays --
+  `consumed` (L, RB) 9-bit masks and `bm_key` (L, RB) per-block max keys --
+  updated with masked elementwise passes (vectorizes on the VPU) and
+  scalar-index column writes (cheap DUS), never scattered.
+- **No packed (key, step) i64 and no superblock level.**  The LIFO
+  tie-break uses ring geometry: the step that wrote ring slot s is
+  T-1 - ((T-1-s) mod RB), so "latest step among equal keys" is "minimum
+  age", a second small (L, RB) pass.  Everything stays int32.
+- The ring is sized by the per-read step cap (RB = CAP+1): a live read's
+  frames are at most CAP steps old, and a lane-start watermark filters
+  dead blocks of earlier reads, exactly as in gen 1.
+
+Reference semantics: src/map/mapping.rs:1012-1383 (k_mismatch_search),
+src/map/fmd_index.rs:108-182 (extension sweep); equivalence to the host
+oracle is property-tested in tests/test_device_search.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .bi_d import compute_bi_d
+from .fm import DeviceFmIndex, extend_batch
+from .search import (
+    CANDS,
+    F_GAPS,
+    F_LOWER,
+    F_LREV,
+    F_OP,
+    F_PARENT,
+    F_SCOREBITS,
+    F_SIZE,
+    F_STARTLEN,
+    GAP_CLOSED,
+    GAP_DELETION,
+    GAP_INSERTION,
+    NEG_INF,
+    NF,
+    OP_COMP_BIT,
+    OP_DELETION,
+    OP_INSERTION,
+    OP_MATCH,
+    OP_MISMATCH,
+    OP_VALID_BIT,
+    pack_op,
+)
+from .search_pool import OP_ABANDON_BIT, PoolConfig, PoolResult
+
+OP_PUSHED_BIT = 1 << 23  # op word of a live (poppable) pushed frame
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def k_mismatch_search_pool2(
+    index: DeviceFmIndex,
+    pattern_rank,  # (R, M) i32
+    pattern_code,  # (R, M) i32
+    n,  # (R,) i32
+    score_lut,  # (R, M, 4) f32
+    pen,  # (R, M) f32
+    split,  # (R,) i32
+    cutoff_scale,  # (R,) f32
+    cutoff_thresh,  # (R,) f32
+    repr_mm,  # (R,) f32
+    params,  # SearchParams
+    config: PoolConfig,
+) -> PoolResult:
+    R, M = pattern_rank.shape
+    L = config.lanes
+    S = config.total_steps
+    SLOTS = S * CANDS + 1
+    ROOT = SLOTS - 1
+    C = config.max_chains
+    CAP = config.read_step_cap
+    RB = min(S, CAP + 1)
+    assert L * SLOTS < 2**31, "compaction keys exceed int32"
+    i32 = jnp.int32
+    INT_MIN = jnp.int32(-2147483648)
+    lanes = jnp.arange(L, dtype=i32)
+    cand_iota = jax.lax.broadcasted_iota(i32, (L, CANDS), 1)
+    slot_iota = jax.lax.broadcasted_iota(i32, (L, RB), 1)
+
+    BIG = index.big
+    IDT = index.idx_dtype
+    NFP = NF + 3 if BIG else NF
+
+    def _pack64(v):
+        pair = jax.lax.bitcast_convert_type(v.astype(jnp.int64), i32)
+        return pair[..., 0], pair[..., 1]
+
+    def _unpack64(lo, hi):
+        return jax.lax.bitcast_convert_type(jnp.stack([lo, hi], axis=-1),
+                                            jnp.int64)
+
+    def mono(f):
+        u = jax.lax.bitcast_convert_type(f, i32)
+        return u ^ ((u >> 31) & 0x7FFFFFFF)
+
+    def mono_bits(u):
+        return u ^ ((u >> 31) & 0x7FFFFFFF)
+
+    def mono_inv(k):
+        return jax.lax.bitcast_convert_type(
+            k ^ ((k >> 31) & 0x7FFFFFFF), jnp.float32
+        )
+
+    bid = compute_bi_d(
+        index, pattern_rank, pen, n, split,
+        compute_forward_part=config.compute_forward_part,
+    )
+    slut_flat = jnp.concatenate(
+        [
+            score_lut.reshape(R * M, 4),
+            pattern_code.reshape(R * M, 1).astype(jnp.float32),
+            bid.reshape(R * M, 1),
+        ],
+        axis=1,
+    )
+    consts = jnp.stack(
+        [
+            n.astype(i32),
+            split.astype(i32),
+            jax.lax.bitcast_convert_type(cutoff_scale, i32),
+            jax.lax.bitcast_convert_type(cutoff_thresh, i32),
+            jax.lax.bitcast_convert_type(repr_mm, i32),
+        ],
+        axis=1,
+    )  # (R, 5)
+
+    consumed = jnp.zeros((L, RB), i32)
+    bm_key = jnp.full((L, RB), INT_MIN, i32)
+    lane_start = jnp.zeros((L,), i32)
+    st_pack = jnp.zeros((L, SLOTS, NFP), i32)
+
+    read_id = jnp.where(lanes < R, lanes, R)
+    fresh = read_id < R
+    next_read = jnp.int32(min(L, R))
+    lane_done = read_id >= R
+    lane_age = jnp.zeros((L,), i32)
+
+    def fetch_consts(rid):
+        rid_c = jnp.clip(rid, 0, R - 1)
+        row = consts[rid_c]
+        return (
+            row[..., 0],
+            row[..., 1],
+            jax.lax.bitcast_convert_type(row[..., 2], jnp.float32),
+            jax.lax.bitcast_convert_type(row[..., 3], jnp.float32),
+            jax.lax.bitcast_convert_type(row[..., 4], jnp.float32),
+        )
+
+    c_n, c_split, c_scale, c_thresh, c_repr = fetch_consts(read_id)
+
+    best_score = jnp.full((L,), NEG_INF, jnp.float32)
+    best_size = jnp.zeros((L,), IDT)
+    hcount = jnp.zeros((L,), i32)
+
+    state = (consumed, bm_key, lane_start, st_pack, read_id, fresh,
+             lane_done, next_read, lane_age, c_n, c_split, c_scale, c_thresh,
+             c_repr, best_score, best_size, hcount, jnp.int32(0))
+
+    def cond(state):
+        lane_done, step = state[6], state[17]
+        if config.debug_fixed_steps:
+            return step < min(S, config.debug_fixed_steps)
+        return jnp.logical_and(step < S, ~jnp.all(lane_done))
+
+    def body(state):
+        (consumed, bm_key, lane_start, st_pack, read_id, fresh,
+         lane_done, next_read, lane_age, c_n, c_split, c_scale, c_thresh,
+         c_repr, best_score, best_size, hcount, step) = state
+
+        active = ~lane_done
+
+        # --- pop: dense block scan (key max, then LIFO = min ring age) ---
+        age = jnp.remainder(step - 1 - slot_iota, RB)
+        t_s = step - 1 - age
+        keym = jnp.where(
+            (t_s >= lane_start[:, None]) & (bm_key > INT_MIN),
+            bm_key, INT_MIN,
+        )
+        kstar = jnp.max(keym, axis=1)
+        popped = kstar > INT_MIN
+        agem = jnp.where(keym == kstar[:, None], age, RB)
+        astar = jnp.min(agem, axis=1)
+        pstep = step - 1 - astar
+        sel_slot = jnp.remainder(pstep, RB)
+        sel_col = slot_iota == sel_slot[:, None]
+        cword = jnp.sum(jnp.where(sel_col, consumed, 0), axis=1, dtype=i32)
+
+        finish_empty = active & ~fresh & ~popped
+        working = active & (fresh | popped)
+        do_pop = working & ~fresh
+
+        # --- fetch the popped block's 9 candidate records (one gather) ---
+        blk_full = jnp.clip(S - 1 - pstep, 0, S - 1)
+        rows9 = st_pack[
+            lanes[:, None], blk_full[:, None] * CANDS + cand_iota
+        ]  # (L, CANDS, NFP)
+        op9s = rows9[:, :, F_OP]
+        live9 = ((op9s & OP_PUSHED_BIT) != 0) & (
+            ((cword[:, None] >> cand_iota) & 1) == 0
+        )
+        key9 = jnp.where(live9, mono_bits(rows9[:, :, F_SCOREBITS]), INT_MIN)
+        off = jnp.argmax(key9, axis=1).astype(i32)
+        f_mono = jnp.max(key9, axis=1)
+        sel = blk_full * CANDS + off  # full-store slot of the popped frame
+
+        # --- consume it: masked pass over the two small pop arrays ---
+        newbit = jnp.where(do_pop, 1 << off, 0)
+        cword2 = cword | newbit
+        live9b = live9 & (cand_iota != off[:, None])
+        newkey = jnp.max(
+            jnp.where(live9b, key9, INT_MIN), axis=1
+        )
+        updm = sel_col & do_pop[:, None]
+        consumed = jnp.where(updm, cword2[:, None], consumed)
+        bm_key = jnp.where(updm, newkey[:, None], bm_key)
+
+        frame = jnp.sum(
+            jnp.where((cand_iota == off[:, None])[:, :, None], rows9, 0),
+            axis=1, dtype=i32,
+        )  # (L, NFP) masked reduce instead of a second gather
+        f_score = jnp.where(fresh, jnp.float32(0.0), mono_inv(f_mono))
+        if BIG:
+            fr_lower = _unpack64(frame[:, F_LOWER], frame[:, NF + 0])
+            fr_lrev = _unpack64(frame[:, F_LREV], frame[:, NF + 1])
+            fr_size = _unpack64(frame[:, F_SIZE], frame[:, NF + 2])
+        else:
+            fr_lower = frame[:, F_LOWER]
+            fr_lrev = frame[:, F_LREV]
+            fr_size = frame[:, F_SIZE]
+        f_lower = jnp.where(fresh, 0, fr_lower)
+        f_lrev = jnp.where(fresh, 0, fr_lrev)
+        f_size = jnp.where(fresh, jnp.asarray(index.text_len, IDT), fr_size)
+        f_start = jnp.where(fresh, c_split, frame[:, F_STARTLEN] >> 16)
+        f_len = jnp.where(fresh, 0, frame[:, F_STARTLEN] & 0xFFFF)
+        gaps = jnp.where(fresh, 0, frame[:, F_GAPS])
+        parent = jnp.where(fresh, ROOT, sel)
+        f_gapb = gaps & 3
+        f_gapf = (gaps >> 2) & 3
+        f_ngaps = (gaps >> 4) & 0xFF
+        fresh = jnp.zeros_like(fresh)
+
+        nn = c_n
+        if config.backward_only:
+            j = f_start - 1
+            d_k = f_start - 1
+            d_l = f_start + f_len - 1
+            ext_lower, ext_lrev = f_lower, f_lrev
+            gap_state = f_gapb
+
+            def pick(fv, bv):
+                return bv
+        else:
+            fwd = f_start <= nn - f_start - f_len
+            j = jnp.where(fwd, f_start + f_len, f_start - 1)
+            d_k = jnp.where(fwd, f_start, f_start - 1)
+            d_l = jnp.where(fwd, f_start + f_len, f_start + f_len - 1)
+            ext_lower = jnp.where(fwd, f_lrev, f_lower)
+            ext_lrev = jnp.where(fwd, f_lower, f_lrev)
+            gap_state = jnp.where(fwd, f_gapf, f_gapb)
+
+            def pick(fv, bv):
+                return jnp.where(fwd, fv, bv)
+
+        ins_score = (
+            jnp.where(gap_state == GAP_INSERTION, params.pge, params.pgo_pge)
+            + f_score
+        ).astype(jnp.float32)
+        del_score = (
+            jnp.where(gap_state == GAP_DELETION, params.pge, params.pgo_pge)
+            + f_score
+        ).astype(jnp.float32)
+        ngaps_inc = jnp.where(gap_state == GAP_CLOSED, f_ngaps + 1, f_ngaps)
+
+        rid_c = jnp.clip(read_id, 0, R - 1)
+        j_c = jnp.clip(j, 0, M - 1)
+        base = rid_c * M
+        bk = jnp.clip(d_k, 0, M - 1)
+        t = nn - (1 + d_l)
+        ci = jnp.clip(t + c_split, 0, M - 1)
+        rows3 = slut_flat[
+            jnp.stack([base + j_c, base + bk, base + ci], axis=1)
+        ]  # (L, 3, 6)
+        Sj = rows3[:, 0, :4]
+        pat_j = rows3[:, 0, 4].astype(i32)
+        d_rev = jnp.where(
+            (d_k >= 0) & (d_k < nn), rows3[:, 1, 5], jnp.float32(0.0)
+        )
+        d_fwd = jnp.where(
+            (t >= 0) & (t + c_split < nn), rows3[:, 2, 5], jnp.float32(0.0)
+        )
+        lb = (d_rev + d_fwd).astype(jnp.float32)
+
+        def reject(v):
+            return (v / c_scale) < c_thresh
+
+        stop = (f_score + lb).astype(jnp.float32) < best_score + c_repr
+        abandon = working & (lane_age >= CAP)
+        finish_stop = working & stop & ~abandon
+        still = working & ~stop & ~abandon
+
+        ch_lower, ch_lrev, ch_size = extend_batch(
+            index, ext_lower, ext_lrev, f_size
+        )
+        if config.backward_only:
+            out_lower, out_lrev = ch_lower, ch_lrev
+        else:
+            out_lower = jnp.where(fwd[:, None], ch_lrev, ch_lower)
+            out_lrev = jnp.where(fwd[:, None], ch_lower, ch_lrev)
+
+        ins_allowed = jnp.minimum(j, nn - j - 1) >= params.gap_dist_ends
+        d5 = pick(j, j + 1)
+        del_allowed = jnp.minimum(d5, nn - d5) >= params.gap_dist_ends
+        next_start = pick(f_start, f_start - 1)
+        del_rej = reject((del_score + lb).astype(jnp.float32))
+        ins_rej = reject((ins_score + lb).astype(jnp.float32))
+
+        c_ok, c_score = [], []
+        cl_lower, cl_lrev, cl_size = [], [], []
+        c_startlen, c_gaps, c_op = [], [], []
+
+        def gaps_word(gb, gf, ng):
+            return gb | (gf << 2) | (ng << 4)
+
+        ok = still & ~ins_rej & ins_allowed & (ngaps_inc <= params.max_gaps)
+        c_ok.append(ok)
+        c_score.append(ins_score)
+        cl_lower.append(f_lower)
+        cl_lrev.append(f_lrev)
+        cl_size.append(f_size)
+        c_startlen.append((next_start << 16) | (f_len + 1))
+        c_gaps.append(
+            gaps_word(
+                pick(f_gapb, GAP_INSERTION),
+                pick(GAP_INSERTION, f_gapf),
+                ngaps_inc,
+            )
+        )
+        c_op.append(pack_op(OP_INSERTION, j_c, 0))
+
+        for slot in range(4):
+            s_lower = out_lower[:, slot]
+            s_lrev = out_lrev[:, slot]
+            s_size = ch_size[:, slot]
+            nonzero = s_size >= 1
+            code = pick(slot, 3 - slot)
+            mm_score = (Sj[lanes, code] + f_score).astype(jnp.float32)
+
+            ok = (
+                still & nonzero & ~del_rej & del_allowed
+                & (ngaps_inc <= params.max_gaps)
+            )
+            c_ok.append(ok)
+            c_score.append(del_score)
+            cl_lower.append(s_lower)
+            cl_lrev.append(s_lrev)
+            cl_size.append(s_size)
+            c_startlen.append((f_start << 16) | f_len)
+            c_gaps.append(
+                gaps_word(
+                    pick(f_gapb, GAP_DELETION),
+                    pick(GAP_DELETION, f_gapf),
+                    ngaps_inc,
+                )
+            )
+            c_op.append(pack_op(OP_DELETION, j_c, code))
+
+            ok = still & nonzero & ~reject((mm_score + lb).astype(jnp.float32))
+            kind = jnp.where(code == pat_j, OP_MATCH, OP_MISMATCH)
+            c_ok.append(ok)
+            c_score.append(mm_score)
+            cl_lower.append(s_lower)
+            cl_lrev.append(s_lrev)
+            cl_size.append(s_size)
+            c_startlen.append((next_start << 16) | (f_len + 1))
+            c_gaps.append(
+                gaps_word(
+                    pick(f_gapb, GAP_CLOSED),
+                    pick(GAP_CLOSED, f_gapf),
+                    f_ngaps,
+                )
+            )
+            c_op.append(pack_op(kind, j_c, code))
+
+        score9 = jnp.stack(c_score, axis=1)
+        size9 = jnp.stack(cl_size, axis=1)
+        len9 = jnp.stack(c_startlen, axis=1) & 0xFFFF
+        ok_cols, comp_cols = [], []
+        run_best, run_size = best_score, best_size
+        for k in range(CANDS):
+            ok_k = c_ok[k] & ~(score9[:, k] < run_best + c_repr)
+            comp_k = ok_k & (len9[:, k] == nn)
+            upd = comp_k & (score9[:, k] > run_best)
+            run_size = jnp.where(upd, size9[:, k], run_size)
+            run_best = jnp.where(upd, score9[:, k], run_best)
+            ok_cols.append(ok_k)
+            comp_cols.append(comp_k)
+        best_score, best_size = run_best, run_size
+        ok9 = jnp.stack(ok_cols, axis=1)
+        comp9 = jnp.stack(comp_cols, axis=1)
+        push9 = ok9 & ~comp9
+
+        gaps9 = jnp.stack(c_gaps, axis=1)
+        op9 = (
+            jnp.stack(c_op, axis=1)
+            | jnp.where(comp9, OP_COMP_BIT, 0).astype(i32)
+            | jnp.where(push9, OP_PUSHED_BIT, 0).astype(i32)
+        )
+        op9 = op9.at[:, 0].set(
+            jnp.where(abandon, OP_VALID_BIT | OP_ABANDON_BIT, op9[:, 0])
+        )
+        record9 = comp9.at[:, 0].set(comp9[:, 0] | abandon)
+        gaps9 = jnp.where(record9, read_id[:, None], gaps9)
+        lower9 = jnp.stack(cl_lower, axis=1)
+        lrev9 = jnp.stack(cl_lrev, axis=1)
+        if BIG:
+            lower9_lo, lower9_hi = _pack64(lower9)
+            lrev9_lo, lrev9_hi = _pack64(lrev9)
+            size9_lo, size9_hi = _pack64(size9)
+            extra = [lower9_hi, lrev9_hi, size9_hi]
+        else:
+            lower9_lo, lrev9_lo, size9_lo = lower9, lrev9, size9
+            extra = []
+        pack9 = jnp.stack(
+            [
+                lower9_lo,
+                lrev9_lo,
+                size9_lo,
+                jnp.broadcast_to(parent[:, None], (L, CANDS)),
+                jnp.stack(c_startlen, axis=1),
+                gaps9,
+                op9,
+                jax.lax.bitcast_convert_type(score9, i32),
+            ]
+            + extra,
+            axis=2,
+        )
+        # store block for step s lives at (S-1-s)*CANDS (store grows
+        # downward so newest-first collector order is slot-descending)
+        blk = S - 1 - step
+        st_pack = jax.lax.dynamic_update_slice(
+            st_pack, pack9[:, ::-1, :],
+            (jnp.int32(0), blk * CANDS, jnp.int32(0)),
+        )
+        # push column into the pop arrays at the (scalar) ring slot
+        mono9 = jnp.where(push9, mono(score9), INT_MIN)[:, ::-1]
+        ring_slot = jnp.remainder(step, RB)
+        bm_key = jax.lax.dynamic_update_slice(
+            bm_key, jnp.max(mono9, axis=1, keepdims=True),
+            (jnp.int32(0), ring_slot),
+        )
+        consumed = jax.lax.dynamic_update_slice(
+            consumed, jnp.zeros((L, 1), i32), (jnp.int32(0), ring_slot)
+        )
+
+        hcount = hcount + jnp.sum(comp9, axis=1, dtype=i32)
+        finish_hits = still & ((hcount > 9) | (best_size > 1))
+
+        # --- refill finished lanes from the pool ---
+        finish = finish_empty | finish_stop | finish_hits | abandon
+        rank = jnp.cumsum(finish.astype(i32)) - finish.astype(i32)
+        new_rid = next_read + rank
+        read_id = jnp.where(finish, jnp.minimum(new_rid, R), read_id)
+        next_read = jnp.minimum(next_read + jnp.sum(finish, dtype=i32), R)
+        got_read = finish & (new_rid < R)
+        fresh = got_read
+        lane_done = lane_done | (finish & (new_rid >= R))
+        # the watermark makes every old block of this lane ineligible
+        lane_start = jnp.where(finish, step + 1, lane_start)
+
+        lane_age = jnp.where(finish, 0, lane_age + active.astype(i32))
+        best_score = jnp.where(finish, NEG_INF, best_score)
+        best_size = jnp.where(finish, 0, best_size)
+        hcount = jnp.where(finish, 0, hcount)
+        nc = fetch_consts(read_id)
+        c_n = jnp.where(finish, nc[0], c_n)
+        c_split = jnp.where(finish, nc[1], c_split)
+        c_scale = jnp.where(finish, nc[2], c_scale)
+        c_thresh = jnp.where(finish, nc[3], c_thresh)
+        c_repr = jnp.where(finish, nc[4], c_repr)
+
+        return (consumed, bm_key, lane_start, st_pack, read_id, fresh,
+                lane_done, next_read, lane_age, c_n, c_split, c_scale,
+                c_thresh, c_repr, best_score, best_size, hcount, step + 1)
+
+    state = jax.lax.while_loop(cond, body, state)
+    (consumed, bm_key, lane_start, st_pack, read_id, fresh, lane_done,
+     next_read, lane_age, c_n, c_split, c_scale, c_thresh, c_repr,
+     best_score, best_size, hcount, steps) = state
+
+    lane_unfinished = ~lane_done & (read_id < R)
+
+    # --- compact completion/abandon entries via top_k (the gen-1 75M-index
+    # scatter cost ~700 ms/invocation on chip) ---
+    op_col = st_pack[:, :, F_OP]
+    comp_mask = (op_col & (OP_COMP_BIT | OP_ABANDON_BIT)) != 0
+    flat_mask = comp_mask.reshape(L * SLOTS)
+    n_chains = jnp.sum(flat_mask, dtype=i32)
+    # keys: set entries get descending linear position so top_k returns
+    # them in ascending (lane, slot) order == gen-1 compaction order
+    lin = jax.lax.broadcasted_iota(i32, (L, SLOTS), 0) * SLOTS + (
+        jax.lax.broadcasted_iota(i32, (L, SLOTS), 1)
+    )
+    keys = jnp.where(flat_mask, -lin.reshape(L * SLOTS), INT_MIN)
+    topv, _ = jax.lax.top_k(keys, C)
+    valid_chain = topv > INT_MIN
+    pos = jnp.where(valid_chain, -topv, 0)
+    c_lane = pos // SLOTS
+    c_slot = pos - c_lane * SLOTS
+
+    entry = st_pack[c_lane, c_slot]  # (C, NFP)
+    c_abandon = ((entry[:, F_OP] & OP_ABANDON_BIT) != 0) & valid_chain
+    c_read = jnp.where(valid_chain, entry[:, F_GAPS], -1)
+    if BIG:
+        c_lower = _unpack64(entry[:, F_LOWER], entry[:, NF + 0])
+        c_lrev = _unpack64(entry[:, F_LREV], entry[:, NF + 1])
+        c_size = _unpack64(entry[:, F_SIZE], entry[:, NF + 2])
+    else:
+        c_lower = entry[:, F_LOWER]
+        c_lrev = entry[:, F_LREV]
+        c_size = entry[:, F_SIZE]
+    c_score = jax.lax.bitcast_convert_type(entry[:, F_SCOREBITS], jnp.float32)
+
+    MW = M + 16
+    walk_valid = valid_chain & ~c_abandon
+    node0 = jnp.where(walk_valid, entry[:, F_PARENT], ROOT)
+    op0 = jnp.where(walk_valid, entry[:, F_OP], 0)
+
+    def walk(carry, _):
+        node = carry
+        e = st_pack[c_lane, node]
+        at_root = node == ROOT
+        word = jnp.where(at_root, 0, e[:, F_OP])
+        nxt = jnp.where(at_root, ROOT, e[:, F_PARENT])
+        return nxt, word
+
+    _, words = jax.lax.scan(walk, node0, None, length=MW - 1)
+    c_ops = jnp.concatenate([op0[None, :], words], axis=0).T  # (C, MW)
+
+    return PoolResult(
+        c_read=c_read, c_slot=c_slot, c_abandon=c_abandon,
+        c_lower=c_lower, c_lrev=c_lrev, c_size=c_size, c_score=c_score,
+        c_ops=c_ops, n_chains=n_chains,
+        lane_read=read_id, lane_unfinished=lane_unfinished,
+        next_read=next_read, steps=steps,
+    )

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.search_pool import PoolConfig, PoolResult, k_mismatch_search_pool
+from ..ops.search_pool import PoolConfig, PoolResult
 
 
 def shard_reads(mesh: Mesh, prep: dict, axis: str = "data") -> dict:
@@ -61,8 +61,12 @@ def pool_search_sharded(
     )
     arrays = [prep[k] for k in keys]
 
+    from ..ops.engine import _pool_impl
+
+    pool_fn = _pool_impl()
+
     def shard_fn(index, *arrays):
-        res = k_mismatch_search_pool(index, *arrays, params, config)
+        res = pool_fn(index, *arrays, params, config)
         base = jax.lax.axis_index(axis).astype(jnp.int32) * R_local
         # local -> global read ids; the "no read" sentinel (local R) maps to
         # a value >= global R so host-side `rid < len(chunk)` checks hold

@@ -38,6 +38,18 @@ LANES = int(os.environ.get("BENCH_LANES", 1024))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 
+def gen_genome(size: int) -> np.ndarray:
+    """Deterministic bench genome, memory-lean at Gbp scale."""
+    rng = np.random.default_rng(42)
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    out = np.empty(size, dtype=np.uint8)
+    step = 1 << 28
+    for i in range(0, size, step):
+        m = min(step, size - i)
+        out[i : i + m] = acgt[rng.integers(0, 4, size=m, dtype=np.uint8)]
+    return out
+
+
 def get_genome_index():
     from mapad_tpu.index.builder import build_from_sequences
     from mapad_tpu.index.runtime import load_index, save_index
@@ -45,8 +57,7 @@ def get_genome_index():
     os.makedirs(CACHE, exist_ok=True)
     prefix = os.path.join(CACHE, f"genome_{GENOME_SIZE}")
     if not os.path.exists(prefix + ".tpx/meta.json"):
-        rng = np.random.default_rng(42)
-        ref = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=GENOME_SIZE)
+        ref = gen_genome(GENOME_SIZE)
         fmd, ssa, idp, orig = build_from_sequences([("bench_chr", ref.tobytes())])
         save_index(prefix, fmd, ssa, idp, orig)
     return load_index(prefix)
@@ -62,8 +73,7 @@ def make_reads(index, n_reads: int):
     glen = contig["end"] - contig["start"] + 1
     # reconstruct genome from the sampled SA text is costly; sample from bwt?
     # Instead: regenerate with the same seed used in get_genome_index.
-    gen_rng = np.random.default_rng(42)
-    genome = gen_rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=GENOME_SIZE)
+    genome = gen_genome(GENOME_SIZE)
 
     reads = []
     starts = rng.integers(0, glen - READ_LEN, size=n_reads)

@@ -54,30 +54,53 @@ def run_apply(ref_seq: bytearray, min_run_len: int, rng) -> dict:
     """
     original_symbols: dict[int, int] = {}
     n = len(ref_seq)
-    i = 0
     acgt = frozenset(DNA_UPPERCASE_ALPHABET)
-    while i < n:
-        symbol = ref_seq[i]
-        j = i + 1
-        while j < n and ref_seq[j] == symbol:
-            j += 1
+
+    # Vectorized run detection over only the ambiguous positions: the
+    # reference's run scan visits every run, but runs of plain ACGT are
+    # never modified, so it suffices to split the ambiguous positions into
+    # same-symbol runs (genome-scale texts make a per-symbol Python loop
+    # impossible).  RNG call order is preserved: calls happen per ambiguous
+    # base in text order, exactly as in indexing.rs:215-256.
+    arr = np.frombuffer(memoryview(ref_seq), dtype=np.uint8)
+    is_amb = ~np.isin(arr, np.frombuffer(DNA_UPPERCASE_ALPHABET, np.uint8))
+    amb_pos = np.flatnonzero(is_amb)
+    if len(amb_pos) == 0:
+        return original_symbols
+    # run boundaries: position gap or symbol change
+    brk = np.flatnonzero(
+        (np.diff(amb_pos) != 1) | (np.diff(arr[amb_pos].astype(np.int16)) != 0)
+    )
+    starts = np.concatenate([[0], brk + 1])
+    ends = np.concatenate([brk + 1, [len(amb_pos)]])
+    for s, e in zip(starts, ends):
+        i, j = int(amb_pos[s]), int(amb_pos[e - 1]) + 1
         run_len = j - i
-        if symbol not in acgt:
-            if run_len < min_run_len:
-                for k in range(i, j):
-                    base = ref_seq[k]
-                    choices = IUPAC_AMBIGUOUS[base]
-                    new = choices[0] if len(choices) == 1 else choices[
-                        rng.choose_index(len(choices))
-                    ]
-                    assert k not in original_symbols
-                    original_symbols[k] = base
-                    ref_seq[k] = new
-            else:
-                for k in range(i, j):
-                    ref_seq[k] = ord("X")
-        i = j
+        if run_len < min_run_len:
+            for k in range(i, j):
+                base = ref_seq[k]
+                choices = IUPAC_AMBIGUOUS[base]
+                new = choices[0] if len(choices) == 1 else choices[
+                    rng.choose_index(len(choices))
+                ]
+                assert k not in original_symbols
+                original_symbols[k] = base
+                ref_seq[k] = new
+        else:
+            ref_seq[i:j] = b"X" * run_len
     return original_symbols
+
+
+def bwt_from_sa(text_ranks: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """bwt[i] = text[sa[i] - 1], chunked to avoid genome-scale temporaries."""
+    n = len(sa)
+    bwt = np.empty(n, dtype=np.uint8)
+    step = 1 << 26
+    for i in range(0, n, step):
+        idx = sa[i : i + step] - 1
+        np.add(idx, n, out=idx, where=idx < 0)
+        bwt[i : i + step] = text_ranks[idx]
+    return bwt
 
 
 def build_from_sequences(records, occ_k: int = DEFAULT_OCC_K, seed: int = 1234):
@@ -95,7 +118,11 @@ def build_from_sequences(records, occ_k: int = DEFAULT_OCC_K, seed: int = 1234):
     ref_seq = bytearray(b"".join(parts))
 
     logger.info("Validate reference sequence")
-    if not all(b in IUPAC_ALPHABET for b in ref_seq):
+    iupac_ok = np.zeros(256, dtype=bool)
+    iupac_ok[list(IUPAC_ALPHABET)] = True
+    if not bool(
+        np.all(iupac_ok[np.frombuffer(memoryview(ref_seq), dtype=np.uint8)])
+    ):
         raise ParseError("Found non-IUPAC symbol in reference sequence")
 
     logger.info("Modify reference sequence")
@@ -113,7 +140,7 @@ def build_from_sequences(records, occ_k: int = DEFAULT_OCC_K, seed: int = 1234):
     sa = suffix_array(text_ranks)
 
     logger.info("Generate BWT")
-    bwt = text_ranks[(sa - 1) % len(text_ranks)].astype(np.uint8)
+    bwt = bwt_from_sa(text_ranks, sa)
 
     alphabet_size = len(rank_transform)
     less = compute_less(bwt, alphabet_size)

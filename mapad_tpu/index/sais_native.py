@@ -63,7 +63,9 @@ def suffix_array(text: np.ndarray) -> np.ndarray:
         raise RuntimeError("native SA-IS not available")
     text = np.ascontiguousarray(text, dtype=np.uint8)
     n = len(text)
-    sa = np.empty(n, dtype=np.int64)
+    # n + 1 slots: the library appends a unique sentinel whose suffix lands
+    # in slot 0; the real suffix array is the view [1:]
+    sa = np.empty(n + 1, dtype=np.int64)
     ret = lib.sais_u8(
         text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -72,4 +74,4 @@ def suffix_array(text: np.ndarray) -> np.ndarray:
     )
     if ret != 0:
         raise RuntimeError(f"sais_u8 failed with code {ret}")
-    return sa
+    return sa[1:]

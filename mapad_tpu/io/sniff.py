@@ -33,12 +33,45 @@ class TaskSheet:
 
 
 class InputSource:
-    """Sniffs the input format and exposes records + an optional header."""
+    """Sniffs the input format and exposes records + an optional header.
+
+    Internally iterates RAW reader records (FastqRecord / BamRecord-like)
+    and converts to map.Record lazily per task chunk: multihost sharding
+    skips non-owned chunks without paying conversion cost, while chunk
+    boundaries still count exactly the records the reference would accept
+    (validity is checked in-stream, input_chunk_reader.rs:196-216)."""
 
     def __init__(self, kind: str, records_iter, header=None):
-        self.kind = kind  # "bam" | "fastq" | "fastq.gz"
+        self.kind = kind  # "bam" | "cram" | "fastq" | "fastq.gz"
         self._records = records_iter
         self.header = header
+        self._is_fastq = kind in ("fastq", "fastq.gz")
+
+    def validate(self, raw) -> bool:
+        """Cheap in-stream validity check; logs and rejects like the
+        reference's per-record skip."""
+        from ..map.record import MAX_READ_LENGTH
+
+        if len(raw.sequence) > MAX_READ_LENGTH:
+            logger.error(
+                "Skip invalid record: read %s is longer than %d",
+                getattr(raw, "name", b"?"), MAX_READ_LENGTH,
+            )
+            return False
+        if self._is_fastq and len(raw.quality) and min(raw.quality) < 33:
+            logger.error(
+                "Skip invalid record: %s has base quality below '!'",
+                raw.name,
+            )
+            return False
+        return True
+
+    def convert(self, raw):
+        if self._is_fastq:
+            return Record.from_fastq(raw.name, raw.sequence, raw.quality)
+        return Record.from_bam(
+            raw.name, raw.flags, raw.sequence, raw.quals, raw.tags
+        )
 
     @classmethod
     def from_path(cls, path: str):
@@ -83,35 +116,28 @@ class InputSource:
 
     @staticmethod
     def _fastq_records(f):
-        for fq in read_fastq(f):
-            try:
-                yield Record.from_fastq(fq.name, fq.sequence, fq.quality)
-            except Exception as e:  # skip malformed records with error log
-                logger.error("Skip invalid record: %s", e)
+        return read_fastq(f)
 
     @staticmethod
     def _bam_records(reader):
-        from ..utils.seq import revcomp
-
-        for rec in reader:
-            try:
-                yield Record.from_bam(
-                    rec.name, rec.flags, rec.sequence, rec.quals, rec.tags
-                )
-            except Exception as e:
-                logger.error("Skip invalid record: %s", e)
+        return iter(reader)
 
     def task_queue(self, chunk_size: int):
-        return TaskQueue(self._records, chunk_size)
+        return TaskQueue(
+            self._records, chunk_size, self.validate, self.convert
+        )
 
 
 class TaskQueue:
     """Yields TaskSheets of <= chunk_size records; supports re-queueing
     failed distributed chunks (input_chunk_reader.rs:178-243)."""
 
-    def __init__(self, records_iter, chunk_size: int):
+    def __init__(self, records_iter, chunk_size: int, validate=None,
+                 convert=None):
         self._records = records_iter
         self._chunk_size = chunk_size
+        self._validate = validate or (lambda r: True)
+        self._convert = convert or (lambda r: r)
         self._chunk_id = -1
         self._requeried: list[TaskSheet] = []
 
@@ -121,15 +147,42 @@ class TaskQueue:
     def __iter__(self):
         return self
 
-    def __next__(self) -> TaskSheet:
-        if self._requeried:
-            return self._requeried.pop()
+    @property
+    def next_chunk_id(self) -> int:
+        return self._chunk_id + 1
+
+    def _pull_raw(self):
         chunk = []
         for rec in self._records:
+            if not self._validate(rec):
+                continue
             chunk.append(rec)
             if len(chunk) >= self._chunk_size:
                 break
+        return chunk
+
+    def skip_chunk(self) -> bool:
+        """Consume one chunk's worth of records without converting them
+        (multihost: non-owned chunks).  Returns False when exhausted."""
+        if self._requeried:
+            return True  # requeried sheets are never skipped
+        chunk = self._pull_raw()
+        if not chunk:
+            return False
+        self._chunk_id += 1
+        return True
+
+    def __next__(self) -> TaskSheet:
+        if self._requeried:
+            return self._requeried.pop()
+        chunk = self._pull_raw()
         if not chunk:
             raise StopIteration
         self._chunk_id += 1
-        return TaskSheet(self._chunk_id, chunk)
+        records = []
+        for rec in chunk:
+            try:
+                records.append(self._convert(rec))
+            except Exception as e:  # conversion failure: skip with log
+                logger.error("Skip invalid record: %s", e)
+        return TaskSheet(self._chunk_id, records)

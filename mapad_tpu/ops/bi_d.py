@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .fm import DeviceFmIndex, backward_ext_by_rank, forward_ext_by_rank
+from .fm import DeviceFmIndex, extend_batch
 
 MAX_OFFSET = 15
 F32_MIN = np.float32(-3.4028235e38)
@@ -40,43 +40,85 @@ def _walk_part(index: DeviceFmIndex, part_rank, part_pen, part_len, forward: boo
     LW = L * W
 
     skip = jnp.tile(jnp.arange(W, dtype=jnp.int32), (L,))  # (LW,) walk offsets
-    lane = jnp.repeat(jnp.arange(L, dtype=jnp.int32), W)
-    plen = part_len[lane]
+    plen = jnp.repeat(part_len, W)
 
     init_lower = jnp.zeros(LW, index.idx_dtype)
     init_lrev = jnp.zeros(LW, index.idx_dtype)
     init_size = jnp.full(LW, index.text_len, index.idx_dtype)
 
-    def step(carry, idx):
-        lower, lrev, size, z, rm = carry
-        active = (idx >= skip) & (idx < plen)
-        c = part_rank[lane, idx]
+    # Steps run only to the longest real part (reads are usually much
+    # shorter than the padded M), and the per-step pattern/penalty loads are
+    # dynamic column slices broadcast over the walks -- the scan index is
+    # uniform across lanes, so no per-row gathers are needed in the body
+    # (XLA row gathers cost ~10ns/row on v5e; at L*15 walks they dominated).
+    n_steps = jnp.max(part_len)
+
+    def extend(lower, lrev, size, c):
         if forward:
-            nl, nlr, ns = forward_ext_by_rank(index, lower, lrev, size, c)
+            # forward ext = backward ext of swapped interval w/ complement
+            comp = jnp.where((c >= 1) & (c <= 4), 5 - c, 0)
+            ch_lower, ch_lrev, ch_size = extend_batch(index, lrev, lower, size)
+            sel = comp
         else:
-            nl, nlr, ns = backward_ext_by_rank(index, lower, lrev, size, c)
+            ch_lower, ch_lrev, ch_size = extend_batch(index, lower, lrev, size)
+            sel = c
+        # slot for rank r is 4 - r; arithmetic one-hot select instead of a
+        # per-row gather
+        slot = 4 - sel
+        cand = jax.lax.broadcasted_iota(jnp.int32, ch_size.shape, 1)
+        hit = cand == slot[:, None]
+
+        def pick(a):
+            return jnp.sum(jnp.where(hit, a, 0), axis=1, dtype=a.dtype)
+
+        sl, slr, ss = pick(ch_lower), pick(ch_lrev), pick(ch_size)
+        valid = (c >= 1) & (c <= 4)
+        zero = jnp.zeros_like(sl)
+        sl = jnp.where(valid, sl, zero)
+        slr = jnp.where(valid, slr, zero)
+        ss = jnp.where(valid, ss, zero)
+        if forward:
+            return slr, sl, ss
+        return sl, slr, ss
+
+    def cond(carry):
+        return carry[0] < n_steps
+
+    def step(carry):
+        idx, lower, lrev, size, z, rm, z_out = carry
+        active = (idx >= skip) & (idx < plen)
+        # uniform column loads broadcast to all W walks of a lane
+        col_rank = jax.lax.dynamic_slice(part_rank, (jnp.int32(0), idx), (L, 1))[:, 0]
+        col_pen = jax.lax.dynamic_slice(part_pen, (jnp.int32(0), idx), (L, 1))[:, 0]
+        c = jnp.repeat(col_rank, W)
+        nl, nlr, ns = extend(lower, lrev, size, c)
         nl = jnp.where(active, nl, lower)
         nlr = jnp.where(active, nlr, lrev)
         ns = jnp.where(active, ns, size)
-        rm = jnp.where(active, jnp.maximum(rm, part_pen[lane, idx]), rm)
+        rm = jnp.where(
+            active, jnp.maximum(rm, jnp.repeat(col_pen, W)), rm
+        )
         dead = active & (ns < 1)
         z = jnp.where(dead, (z + rm).astype(jnp.float32), z)
         nl = jnp.where(dead, init_lower, nl)
         nlr = jnp.where(dead, init_lrev, nlr)
         ns = jnp.where(dead, init_size, ns)
         rm = jnp.where(dead, F32_MIN, rm)
-        return (nl, nlr, ns, z, rm), z
+        # out[w, i] = 0 if i <= skip_w else z after step i-1: write z into
+        # column idx+1 (clipped; the last column write is overwritten by the
+        # skip mask below only where idx+1 <= skip, never true for idx>=skip)
+        z_out = jax.lax.dynamic_update_slice(
+            z_out, z[:, None], (jnp.int32(0), idx + 1)
+        )
+        return idx + 1, nl, nlr, ns, z, rm, z_out
 
-    carry = (init_lower, init_lrev, init_size,
-             jnp.zeros(LW, jnp.float32), jnp.full(LW, F32_MIN, jnp.float32))
-    _, z_hist = jax.lax.scan(step, carry, jnp.arange(M, dtype=jnp.int32))
-    # z_hist: (M, LW); out[w, i] = 0 if i <= skip_w else z_hist[i-1, w]
-    z_hist = jnp.moveaxis(z_hist, 0, 1)  # (LW, M)
+    carry = (jnp.int32(0), init_lower, init_lrev, init_size,
+             jnp.zeros(LW, jnp.float32), jnp.full(LW, F32_MIN, jnp.float32),
+             jnp.zeros((LW, M + 1), jnp.float32))
+    carry = jax.lax.while_loop(cond, step, carry)
+    z_out = carry[6][:, :M]  # (LW, M); column i holds z after step i-1
     idxs = jnp.arange(M, dtype=jnp.int32)[None, :]
-    prev = jnp.concatenate(
-        [jnp.zeros((LW, 1), jnp.float32), z_hist[:, :-1]], axis=1
-    )
-    out = jnp.where(idxs <= skip[:, None], jnp.float32(0.0), prev)  # (LW, M)
+    out = jnp.where(idxs <= skip[:, None], jnp.float32(0.0), z_out)
     out = out.reshape(L, W, M)
     # reference fold: starts at 0.0 and min-reduces over the offset walks
     return jnp.minimum(jnp.min(out, axis=1), jnp.float32(0.0))  # (L, M)

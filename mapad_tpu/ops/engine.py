@@ -330,6 +330,12 @@ class DeviceSearchEngine:
 
     def _dispatch_pool(self, chunk, params, R, cfg):
         t0 = time.perf_counter()
+        # size the pattern axis to the chunk's real max read length (round
+        # up to 16 to bound recompiles); cuts LUT prep + per-step gather
+        # bandwidth for short-read workloads
+        mlen = max((len(r.sequence) for r in chunk), default=1)
+        m_fit = min(cfg.max_len, max(16, -(-mlen // 16) * 16))
+        cfg = cfg._replace(max_len=m_fit)
         prep = self._prepare(
             [r if len(r.sequence) <= cfg.max_len else _EMPTY for r in chunk],
             cfg.max_len, R,

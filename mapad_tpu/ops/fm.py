@@ -30,9 +30,16 @@ class DeviceFmIndex(NamedTuple):
     the same fused row -- [cp_lo(6) | cp_hi(6) | packed bwt] -- so the rank
     query still costs a single row gather; interval arithmetic runs in
     int64 (requires jax x64, enabled at ops package import).
+
+    Symbols (ranks 0..5, pad 15) pack 8 per int32 (4 bits each) and the
+    block size is chosen so a row is exactly 128 int32 = 512 B: one aligned
+    HBM granule per rank query, no tile padding waste (TPU (8,128) tiling
+    pads the minor dim to 128 lanes regardless, so narrower rows store the
+    same 512 B but carry fewer symbols).  k = (128-6)*8 = 976 small,
+    (128-12)*8 = 928 big.
     """
 
-    rows: jax.Array  # (nb, [6|12] + K//4) int32 fused occ+bwt rows
+    rows: jax.Array  # (nb, 128) int32 fused occ+bwt rows
     less: jax.Array  # (A,) int32 / int64
     sentinels: jax.Array  # (2,) int32 / int64
     occ_k: int  # static
@@ -58,21 +65,21 @@ class DeviceFmIndex(NamedTuple):
         """
         from ..index.fmd import compute_occ_checkpoints
 
-        k = occ_k or (fmd.occ_k if fmd.occ_k % 4 == 0 else 64)
         n = len(fmd.bwt)
         if big is None:
             big = n >= 2**31 - 1
+        n_cp = 12 if big else 6
+        k = occ_k or (128 - n_cp) * 8
+        assert k % 8 == 0
         nb = (n + k - 1) // k
         bwt = np.asarray(fmd.bwt, dtype=np.uint8)
-        padded = np.full(nb * k, 255, dtype=np.uint8)
+        padded = np.full(nb * k, 15, dtype=np.uint8)
         padded[:n] = bwt
-        packed = padded.reshape(nb, k // 4, 4).astype(np.int32)
-        packed = (
-            packed[:, :, 0]
-            | (packed[:, :, 1] << 8)
-            | (packed[:, :, 2] << 16)
-            | (packed[:, :, 3] << 24)
-        )
+        nibbles = padded.reshape(nb, k // 8, 8).astype(np.uint32)
+        packed = np.zeros((nb, k // 8), dtype=np.uint32)
+        for b in range(8):
+            packed |= nibbles[:, :, b] << (4 * b)
+        packed = packed.view(np.int32)
         if k == fmd.occ_k:
             cp = np.asarray(fmd.occ_cp, dtype=np.int64)
         else:
@@ -125,10 +132,10 @@ def _row_occ4(index: DeviceFmIndex, r: jax.Array) -> jax.Array:
         )
     else:
         cp = rows[:, 1:5]  # checkpoint counts for ranks 1..4
-    words = rows[:, index.n_cp_cols:]  # (L, K//4)
-    # unpack bytes: (L, K//4, 4) -> (L, K)
-    shifts = jnp.asarray([0, 8, 16, 24], dtype=jnp.int32)
-    symbols = ((words[:, :, None] >> shifts[None, None, :]) & 0xFF).reshape(
+    words = rows[:, index.n_cp_cols:]  # (L, K//8)
+    # unpack nibbles: (L, K//8, 8) -> (L, K)
+    shifts = jnp.arange(0, 32, 4, dtype=jnp.int32)
+    symbols = ((words[:, :, None] >> shifts[None, None, :]) & 0xF).reshape(
         rows.shape[0], -1
     )
     pos = jax.lax.broadcasted_iota(jnp.int32, symbols.shape, 1)

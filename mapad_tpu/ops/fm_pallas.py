@@ -28,7 +28,7 @@ def _extend_kernel(blk1_ref, blk2_ref, aux_ref, rows_hbm, less_ref,
                    out_ref, scratch, sem, *, occ_k, lanes_per_step):
     """Grid step g handles lanes [g*lanes_per_step, (g+1)*lanes_per_step)."""
     g = pl.program_id(0)
-    nw = occ_k // 4
+    nw = occ_k // 8
     W = 6 + nw
 
     # DMA the 2 * lanes_per_step rows for this grid step
@@ -46,10 +46,10 @@ def _extend_kernel(blk1_ref, blk2_ref, aux_ref, rows_hbm, less_ref,
             rows_hbm.at[0], scratch.at[sl], sem.at[sl]
         ).wait()
 
-    word_pos = jax.lax.broadcasted_iota(jnp.int32, (4, nw), 1)
-    byte_plane = jax.lax.broadcasted_iota(jnp.int32, (4, nw), 0)
-    shifts = byte_plane * 8
-    pos = word_pos * 4 + byte_plane
+    word_pos = jax.lax.broadcasted_iota(jnp.int32, (8, nw), 1)
+    nib_plane = jax.lax.broadcasted_iota(jnp.int32, (8, nw), 0)
+    shifts = nib_plane * 4
+    pos = word_pos * 8 + nib_plane
 
     for sl in range(lanes_per_step):
         lane = g * lanes_per_step + sl
@@ -62,7 +62,7 @@ def _extend_kernel(blk1_ref, blk2_ref, aux_ref, rows_hbm, less_ref,
         def counts(buf_idx, off):
             cp = [scratch[buf_idx, c] for c in (1, 2, 3, 4)]
             words = scratch[buf_idx, 6:W]
-            symbols = (words[None, :] >> shifts) & 0xFF
+            symbols = (words[None, :] >> shifts) & 0xF
             in_prefix = pos <= off
             return [
                 jnp.where(

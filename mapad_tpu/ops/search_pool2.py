@@ -143,6 +143,10 @@ def k_mismatch_search_pool2(
         ],
         axis=1,
     )  # (R, 5)
+    # refills assign read ids sequentially from next_read, so the consts
+    # rows a step needs are one contiguous window: a dynamic slice plus an
+    # integer one-hot select replaces a per-row gather (~35 us/step on v5e)
+    consts_pad = jnp.pad(consts, ((0, L), (0, 0)))
 
     consumed = jnp.zeros((L, RB), i32)
     bm_key = jnp.full((L, RB), INT_MIN, i32)
@@ -480,6 +484,9 @@ def k_mismatch_search_pool2(
         rank = jnp.cumsum(finish.astype(i32)) - finish.astype(i32)
         new_rid = next_read + rank
         read_id = jnp.where(finish, jnp.minimum(new_rid, R), read_id)
+        win = jax.lax.dynamic_slice(
+            consts_pad, (next_read, jnp.int32(0)), (L, 5)
+        )  # rows for reads [next_read, next_read + L)
         next_read = jnp.minimum(next_read + jnp.sum(finish, dtype=i32), R)
         got_read = finish & (new_rid < R)
         fresh = got_read
@@ -491,12 +498,27 @@ def k_mismatch_search_pool2(
         best_score = jnp.where(finish, NEG_INF, best_score)
         best_size = jnp.where(finish, 0, best_size)
         hcount = jnp.where(finish, 0, hcount)
-        nc = fetch_consts(read_id)
-        c_n = jnp.where(finish, nc[0], c_n)
-        c_split = jnp.where(finish, nc[1], c_split)
-        c_scale = jnp.where(finish, nc[2], c_scale)
-        c_thresh = jnp.where(finish, nc[3], c_thresh)
-        c_repr = jnp.where(finish, nc[4], c_repr)
+        # one-hot select window row `rank` for finishing lanes (int-exact)
+        src = jax.lax.broadcasted_iota(i32, (L, L), 1)
+        sel_row = src == rank[:, None]
+        nc = jnp.sum(
+            jnp.where(sel_row[:, :, None], win[None, :, :], 0),
+            axis=1, dtype=i32,
+        )  # (L, 5)
+        c_n = jnp.where(finish, nc[:, 0], c_n)
+        c_split = jnp.where(finish, nc[:, 1], c_split)
+        c_scale = jnp.where(
+            finish, jax.lax.bitcast_convert_type(nc[:, 2], jnp.float32),
+            c_scale,
+        )
+        c_thresh = jnp.where(
+            finish, jax.lax.bitcast_convert_type(nc[:, 3], jnp.float32),
+            c_thresh,
+        )
+        c_repr = jnp.where(
+            finish, jax.lax.bitcast_convert_type(nc[:, 4], jnp.float32),
+            c_repr,
+        )
 
         return (consumed, bm_key, lane_start, st_pack, read_id, fresh,
                 lane_done, next_read, lane_age, c_n, c_split, c_scale,
@@ -509,23 +531,52 @@ def k_mismatch_search_pool2(
 
     lane_unfinished = ~lane_done & (read_id < R)
 
-    # --- compact completion/abandon entries via top_k (the gen-1 75M-index
-    # scatter cost ~700 ms/invocation on chip) ---
+    # --- compact completion/abandon entries, two-stage (a flat sort over
+    # L*SLOTS keys cost ~278 ms/invocation on chip; the gen-1 scatter ~700):
+    # stage 1 reduces each 9-candidate block to a bitmask, stage 2 top_k's
+    # the ~9x-smaller block keys, stage 3 expands the selected blocks and
+    # orders their set bits with a small top_k ---
     op_col = st_pack[:, :, F_OP]
     comp_mask = (op_col & (OP_COMP_BIT | OP_ABANDON_BIT)) != 0
-    flat_mask = comp_mask.reshape(L * SLOTS)
-    n_chains = jnp.sum(flat_mask, dtype=i32)
-    # keys: set entries get descending linear position so top_k returns
-    # them in ascending (lane, slot) order == gen-1 compaction order
-    lin = jax.lax.broadcasted_iota(i32, (L, SLOTS), 0) * SLOTS + (
-        jax.lax.broadcasted_iota(i32, (L, SLOTS), 1)
+    n_chains = jnp.sum(comp_mask, dtype=i32)
+    NB9 = SLOTS // CANDS + 1  # S blocks + the ROOT slot's padded block
+    comp_pad = jnp.pad(
+        comp_mask, ((0, 0), (0, NB9 * CANDS - SLOTS))
+    ).reshape(L, NB9, CANDS)
+    blk_bits = jnp.sum(
+        jnp.where(
+            comp_pad,
+            jnp.int32(1) << jax.lax.broadcasted_iota(i32, (L, NB9, CANDS), 2),
+            0,
+        ),
+        axis=2,
+        dtype=i32,
+    )  # (L, NB9) 9-bit occupancy per block
+    lin_b = jax.lax.broadcasted_iota(i32, (L, NB9), 0) * NB9 + (
+        jax.lax.broadcasted_iota(i32, (L, NB9), 1)
     )
-    keys = jnp.where(flat_mask, -lin.reshape(L * SLOTS), INT_MIN)
-    topv, _ = jax.lax.top_k(keys, C)
-    valid_chain = topv > INT_MIN
-    pos = jnp.where(valid_chain, -topv, 0)
-    c_lane = pos // SLOTS
-    c_slot = pos - c_lane * SLOTS
+    bkeys = jnp.where(blk_bits != 0, -lin_b, INT_MIN).reshape(L * NB9)
+    btop, _ = jax.lax.top_k(bkeys, C)  # ascending (lane, block) order
+    bvalid = btop > INT_MIN
+    bpos = jnp.where(bvalid, -btop, 0)
+    b_lane = bpos // NB9
+    b_blk = bpos - b_lane * NB9
+    bits = jnp.where(bvalid, blk_bits[b_lane, b_blk], 0)  # (C,)
+    # expand: entry k of block b in (lane, slot) order; keep the first C
+    cand9 = jax.lax.broadcasted_iota(i32, (C, CANDS), 1)
+    set_mask = ((bits[:, None] >> cand9) & 1) != 0
+    exp_lin = jnp.where(
+        set_mask,
+        -(jax.lax.broadcasted_iota(i32, (C, CANDS), 0) * CANDS + cand9),
+        INT_MIN,
+    ).reshape(C * CANDS)
+    etop, _ = jax.lax.top_k(exp_lin, C)
+    valid_chain = etop > INT_MIN
+    epos = jnp.where(valid_chain, -etop, 0)
+    e_row = epos // CANDS
+    e_cand = epos - e_row * CANDS
+    c_lane = b_lane[e_row]
+    c_slot = b_blk[e_row] * CANDS + e_cand
 
     entry = st_pack[c_lane, c_slot]  # (C, NFP)
     c_abandon = ((entry[:, F_OP] & OP_ABANDON_BIT) != 0) & valid_chain

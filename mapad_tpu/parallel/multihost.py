@@ -37,7 +37,11 @@ def initialize(coordinator: str | None = None, num_processes: int | None = None,
 
 
 class ShardedTaskQueue:
-    """Wraps a TaskQueue, yielding only this host's chunks (round-robin)."""
+    """Wraps a TaskQueue, yielding only this host's chunks (round-robin).
+
+    Non-owned chunks are skipped via TaskQueue.skip_chunk, which counts
+    records for exact chunk-boundary parity but never converts them --
+    each host pays full parse cost only for its own 1/N of the input."""
 
     def __init__(self, task_queue, process_id: int, process_count: int):
         self._inner = task_queue
@@ -49,9 +53,10 @@ class ShardedTaskQueue:
 
     def __next__(self):
         while True:
-            sheet = next(self._inner)
-            if sheet.chunk_id % self._count == self._pid:
-                return sheet
+            if self._inner.next_chunk_id % self._count == self._pid:
+                return next(self._inner)
+            if not self._inner.skip_chunk():
+                raise StopIteration
 
 
 def run_multihost(
@@ -95,7 +100,7 @@ def run_multihost(
         input_source.task_queue(alignment_parameters.chunk_size), pid, count
     )
     with open(shard_path, "wb") as raw:
-        with BamWriter(raw, out_header) as writer:
+        with BamShardWriter(raw) as writer:
             run_inner(
                 queue, index, alignment_parameters, read_group, engine, writer,
                 position_seed,
@@ -111,17 +116,54 @@ def run_multihost(
         _merge_bam_shards(out_file_path, count, out_header, force_overwrite)
 
 
+class BamShardWriter:
+    """Headerless BGZF record stream for one host's shard.
+
+    Shards carry only record blocks (no BAM header, no BGZF EOF): BGZF
+    streams are block-concatenable, so host 0 merges shards by raw byte
+    append -- no per-record decode/re-encode (reference counterpart: the
+    dispatcher re-encodes every interval, dispatcher.rs:340-379)."""
+
+    def __init__(self, fileobj):
+        from ..io.bgzf import BgzfWriter
+
+        self._w = BgzfWriter(fileobj)
+        self._f = fileobj
+
+    def write_record(self, rec):
+        from ..io.bam import encode_record
+
+        self._w.write(encode_record(rec))
+
+    def write_raw(self, data: bytes):
+        self._w.write(data)
+
+    def close(self):
+        self._w.flush()
+        self._f.flush()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def _merge_bam_shards(out_file_path: str, count: int, header, force_overwrite):
-    """Concatenate shard BAMs into the final output (records re-encoded)."""
-    from ..io.bam import BamReader, BamWriter
+    """Merge: header + raw shard bytes + EOF.  Streams at disk bandwidth."""
+    import shutil
+
+    from ..io.bam import BamWriter
+    from ..io.bgzf import BGZF_EOF
 
     if not force_overwrite and os.path.exists(out_file_path):
         raise FileExistsError(out_file_path)
     with open(out_file_path, "wb") as raw:
-        with BamWriter(raw, header) as writer:
-            for i in range(count):
-                shard = f"{out_file_path}.shard{i}"
-                with open(shard, "rb") as f:
-                    for record in BamReader(f):
-                        writer.write_record(record)
-                os.remove(shard)
+        writer = BamWriter(raw, header)
+        writer._w.flush()  # header blocks out, no EOF yet
+        for i in range(count):
+            shard = f"{out_file_path}.shard{i}"
+            with open(shard, "rb") as f:
+                shutil.copyfileobj(f, raw, 1 << 20)
+            os.remove(shard)
+        raw.write(BGZF_EOF)

@@ -2,9 +2,12 @@
 // implemented from the published algorithm for the index builder
 // (replaces rust-bio's suffix_array(), reference src/index/indexing.rs:163).
 //
-// Works on an integer-rank text; recursion uses the same routine with the
-// reduced problem's alphabet.  Indices are 64-bit so genome-scale texts
-// (hg19 doubled: ~6.2e9 symbols) are supported.
+// Memory-lean layout for genome-scale texts (hg19 doubled: ~6.2e9 symbols):
+// the level-0 text stays uint8, and all per-level scratch (LMS names, the
+// reduced string, its suffix array) lives inside the caller-provided SA
+// buffer, as in the classic in-place SA-IS formulations.  Peak RSS for
+// n = 6.2e9 is ~(n + 8n) bytes + a bit vector: ~57 GB, vs ~200 GB for the
+// naive all-int64 version this replaces.
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libsais.so sais.cpp
 
@@ -16,8 +19,8 @@ namespace {
 
 using idx_t = int64_t;
 
-// Compute bucket start (or end) offsets for each symbol.
-static void bucket_offsets(const idx_t* text, idx_t n, idx_t K,
+template <class CharT>
+static void bucket_offsets(const CharT* text, idx_t n, idx_t K,
                            std::vector<idx_t>& bkt, bool end) {
     std::fill(bkt.begin(), bkt.end(), 0);
     for (idx_t i = 0; i < n; i++) bkt[text[i]]++;
@@ -28,7 +31,8 @@ static void bucket_offsets(const idx_t* text, idx_t n, idx_t K,
     }
 }
 
-static void induce_l(const idx_t* text, idx_t* sa, idx_t n, idx_t K,
+template <class CharT>
+static void induce_l(const CharT* text, idx_t* sa, idx_t n, idx_t K,
                      const std::vector<bool>& is_s, std::vector<idx_t>& bkt) {
     bucket_offsets(text, n, K, bkt, false);
     for (idx_t i = 0; i < n; i++) {
@@ -37,7 +41,8 @@ static void induce_l(const idx_t* text, idx_t* sa, idx_t n, idx_t K,
     }
 }
 
-static void induce_s(const idx_t* text, idx_t* sa, idx_t n, idx_t K,
+template <class CharT>
+static void induce_s(const CharT* text, idx_t* sa, idx_t n, idx_t K,
                      const std::vector<bool>& is_s, std::vector<idx_t>& bkt) {
     bucket_offsets(text, n, K, bkt, true);
     for (idx_t i = n - 1; i >= 0; i--) {
@@ -46,25 +51,23 @@ static void induce_s(const idx_t* text, idx_t* sa, idx_t n, idx_t K,
     }
 }
 
-// Core SA-IS over an integer text with alphabet [0, K).  The text is NOT
-// required to end in a unique smallest sentinel; a virtual "empty suffix"
-// smaller than everything is modelled by the classic trick of appending one
-// implicitly (handled by caller wrapper below).
-static void sais(const idx_t* text, idx_t* sa, idx_t n, idx_t K) {
+// Core SA-IS over an integer text with alphabet [0, K).  The caller
+// guarantees text[n-1] is the unique smallest symbol (explicit sentinel),
+// which every recursion level preserves.
+template <class CharT>
+static void sais_t(const CharT* text, idx_t* sa, idx_t n, idx_t K) {
     if (n == 0) return;
     if (n == 1) {
         sa[0] = 0;
         return;
     }
 
-    // 1) classify suffix types: S if text[i] < text[i+1], or equal-and-next-S;
-    //    the final position is defined S (its suffix is the smallest among
-    //    suffixes starting with text[n-1]?  No -- standard SA-IS appends a
-    //    sentinel; here the caller appends an explicit 0 sentinel).
+    // 1) classify suffix types
     std::vector<bool> is_s(n);
     is_s[n - 1] = true;
     for (idx_t i = n - 2; i >= 0; i--)
-        is_s[i] = text[i] < text[i + 1] || (text[i] == text[i + 1] && is_s[i + 1]);
+        is_s[i] =
+            text[i] < text[i + 1] || (text[i] == text[i + 1] && is_s[i + 1]);
 
     auto is_lms = [&](idx_t i) { return i > 0 && is_s[i] && !is_s[i - 1]; };
 
@@ -78,14 +81,17 @@ static void sais(const idx_t* text, idx_t* sa, idx_t n, idx_t K) {
     induce_l(text, sa, n, K, is_s, bkt);
     induce_s(text, sa, n, K, is_s, bkt);
 
-    // 3) compact sorted LMS positions, name LMS substrings
-    idx_t n_lms = 0;
+    // 3) compact sorted LMS positions into sa[0:n1]; name LMS substrings
+    //    into sa[n1:] at index pos/2 (n1 + (n-1)/2 + 1 <= n always: LMS
+    //    positions are non-adjacent and position 0 is never LMS)
+    idx_t n1 = 0;
     for (idx_t i = 0; i < n; i++)
-        if (is_lms(sa[i])) sa[n_lms++] = sa[i];
-    std::vector<idx_t> names(n / 2 + 1, idx_t(-1));
+        if (is_lms(sa[i])) sa[n1++] = sa[i];
+    idx_t* names = sa + n1;
+    std::fill(names, sa + n, idx_t(-1));
     idx_t name = 0;
     idx_t prev = -1;
-    for (idx_t i = 0; i < n_lms; i++) {
+    for (idx_t i = 0; i < n1; i++) {
         idx_t pos = sa[i];
         bool diff = false;
         if (prev < 0) {
@@ -109,33 +115,44 @@ static void sais(const idx_t* text, idx_t* sa, idx_t n, idx_t K) {
         }
         names[pos / 2] = name - 1;
     }
-    // gather names in text order -> reduced string s1
-    std::vector<idx_t> s1;
-    s1.reserve(n_lms);
-    for (idx_t i = 0; i < (idx_t)names.size(); i++)
-        if (names[i] >= 0) s1.push_back(names[i]);
+    // compact names (text order) right-to-left into s1 = sa[n - n1 : n].
+    // Right-to-left is collision-free: when the read pointer is at index r,
+    // the entries already moved all sat at indexes > r, so the write
+    // pointer n-1-k >= r.
+    {
+        idx_t w = n - 1;
+        for (idx_t r = n - 1; r >= n1; r--) {
+            if (sa[r] >= 0) sa[w--] = sa[r];
+        }
+    }
+    idx_t* s1 = sa + n - n1;
 
-    // 4) sort the reduced problem (recurse if names are not unique)
-    std::vector<idx_t> sa1(n_lms);
-    if (name < n_lms) {
-        sais(s1.data(), sa1.data(), n_lms, name);
+    // 4) sort the reduced problem (recurse if names are not unique);
+    //    sa1 = sa[0:n1]
+    if (name < n1) {
+        sais_t<idx_t>(s1, sa, n1, name);
     } else {
-        for (idx_t i = 0; i < n_lms; i++) sa1[s1[i]] = i;
+        for (idx_t i = 0; i < n1; i++) sa[s1[i]] = i;
     }
 
-    // 5) map reduced SA back to LMS positions (in text order)
-    std::vector<idx_t> lms_pos;
-    lms_pos.reserve(n_lms);
-    for (idx_t i = 1; i < n; i++)
-        if (is_lms(i)) lms_pos.push_back(i);
-    std::vector<idx_t> sorted_lms(n_lms);
-    for (idx_t i = 0; i < n_lms; i++) sorted_lms[i] = lms_pos[sa1[i]];
+    // 5) map reduced SA back to LMS positions: enumerate LMS positions in
+    //    text order into s1's region (no longer needed), then gather
+    {
+        idx_t cnt = 0;
+        for (idx_t i = 1; i < n; i++)
+            if (is_lms(i)) s1[cnt++] = i;
+        for (idx_t i = 0; i < n1; i++) sa[i] = s1[sa[i]];
+    }
 
-    // 6) induce the final SA from sorted LMS suffixes
-    std::fill(sa, sa + n, idx_t(-1));
+    // 6) induce the final SA from sorted LMS suffixes.  Redistribute the
+    //    compacted sorted-LMS prefix to bucket ends right-to-left (the
+    //    target index never precedes the read index, so no clobbering),
+    //    clearing as we go.
+    std::fill(sa + n1, sa + n, idx_t(-1));
     bucket_offsets(text, n, K, bkt, true);
-    for (idx_t i = n_lms - 1; i >= 0; i--) {
-        idx_t pos = sorted_lms[i];
+    for (idx_t i = n1 - 1; i >= 0; i--) {
+        idx_t pos = sa[i];
+        sa[i] = -1;
         sa[--bkt[text[pos]]] = pos;
     }
     induce_l(text, sa, n, K, is_s, bkt);
@@ -149,19 +166,15 @@ extern "C" {
 // Build the suffix array of `text` (uint8 ranks, alphabet [0, K)).
 // The text must not be empty.  Returns 0 on success.
 //
-// Semantics match lexicographic suffix order over the raw byte text
-// (duplicate sentinels allowed): a virtual empty suffix is appended
-// internally so the comparison treats shorter prefixes as smaller.
+// `sa_out` must have space for n + 1 entries: a unique smallest sentinel is
+// appended internally (classic trick so shorter prefixes sort smaller) and
+// its suffix lands in sa_out[0]; the caller reads sa_out[1 : n + 1].
 int sais_u8(const uint8_t* text, int64_t* sa_out, int64_t n, int64_t K) {
-    if (n <= 0) return -1;
-    // append a unique smallest sentinel (0), shifting symbols by +1
-    std::vector<idx_t> t(n + 1);
-    for (idx_t i = 0; i < n; i++) t[i] = idx_t(text[i]) + 1;
+    if (n <= 0 || K > 254) return -1;
+    std::vector<uint8_t> t(n + 1);
+    for (idx_t i = 0; i < n; i++) t[i] = uint8_t(text[i] + 1);
     t[n] = 0;
-    std::vector<idx_t> sa(n + 1);
-    sais(t.data(), sa.data(), n + 1, K + 1);
-    // drop the sentinel suffix (position n, always first)
-    std::memcpy(sa_out, sa.data() + 1, n * sizeof(int64_t));
+    sais_t<uint8_t>(t.data(), sa_out, n + 1, K + 1);
     return 0;
 }
 }

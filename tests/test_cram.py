@@ -205,7 +205,7 @@ def test_input_source_cram_integration():
     src = InputSource._from_bytes(buf.getvalue())
     assert src.kind == "cram"
     assert src.header is not None
-    out = list(src._records)
+    out = [src.convert(r) for r in src._records]
     assert len(out) == 2
     assert out[0].sequence == b"ACGTACGTAA"
     assert out[0].base_qualities == bytes([33] * 10)

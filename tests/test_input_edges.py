@@ -17,15 +17,34 @@ def test_overlong_read_rejected():
 
 
 def test_malformed_record_skipped_with_log(caplog):
-    # second record is overlong -> skipped, first and third still yielded
+    # second record is overlong -> skipped in-stream (validity counts
+    # toward chunk boundaries), first and third still yielded
     data = (
         b"@ok1\nACGT\n+\nIIII\n"
         + b"@bad\n" + b"A" * 40000 + b"\n+\n" + b"I" * 40000 + b"\n"
         + b"@ok2\nGGTT\n+\nIIII\n"
     )
     src = InputSource._from_bytes(data)
-    records = list(src._records)
-    assert [r.name for r in records] == [b"ok1", b"ok2"]
+    sheets = list(src.task_queue(10))
+    assert [r.name for s in sheets for r in s.records] == [b"ok1", b"ok2"]
+    assert any("Skip invalid record" in r.message for r in caplog.records)
+
+
+def test_skip_chunk_counts_only_valid_records():
+    # an invalid record inside a skipped chunk must not shift boundaries
+    data = (
+        b"@a\nACGT\n+\nIIII\n"
+        + b"@bad\n" + b"A" * 40000 + b"\n+\n" + b"I" * 40000 + b"\n"
+        + b"@b\nACGT\n+\nIIII\n"
+        + b"@c\nGGTT\n+\nIIII\n"
+    )
+    src = InputSource._from_bytes(data)
+    q = src.task_queue(2)
+    assert q.skip_chunk()  # chunk 0 = [a, b] (bad doesn't count)
+    sheet = next(q)
+    assert sheet.chunk_id == 1
+    assert [r.name for r in sheet.records] == [b"c"]
+    assert not q.skip_chunk()
 
 
 def test_task_queue_chunking_and_requery():

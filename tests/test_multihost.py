@@ -2,7 +2,11 @@
 
 from mapad_tpu.io.bam import BamReader, BamRecord, BamWriter, SamHeader
 from mapad_tpu.io.sniff import TaskQueue
-from mapad_tpu.parallel.multihost import ShardedTaskQueue, _merge_bam_shards
+from mapad_tpu.parallel.multihost import (
+    BamShardWriter,
+    ShardedTaskQueue,
+    _merge_bam_shards,
+)
 
 
 def test_sharded_task_queue():
@@ -23,7 +27,7 @@ def test_merge_bam_shards(tmp_path):
     out = tmp_path / "merged.bam"
     for pid in range(2):
         with open(f"{out}.shard{pid}", "wb") as f:
-            with BamWriter(f, header) as w:
+            with BamShardWriter(f) as w:
                 w.write_record(
                     BamRecord(name=f"r{pid}".encode(), flags=4, sequence=b"ACGT",
                               quals=bytes([30] * 4))

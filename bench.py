@@ -38,8 +38,17 @@ LANES = int(os.environ.get("BENCH_LANES", 1024))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 
-def gen_genome(size: int) -> np.ndarray:
-    """Deterministic bench genome, memory-lean at Gbp scale."""
+def gen_genome(size: int, repeats: bool | None = None) -> np.ndarray:
+    """Deterministic bench genome, memory-lean at Gbp scale.
+
+    Default (repeats=True) adds repeat structure -- ~20% of the genome is
+    segments duplicated from elsewhere with ~1% divergence -- so
+    multi-mapper enumeration (X0/X1/XA), MAPQ down-weighting and deep
+    repeat searches cost what they cost on real genomes (reference bench
+    reads exercise these paths, benches/benchmark.rs:68-360).  BENCH_EASY=1
+    keeps the old uniform-random genome."""
+    if repeats is None:
+        repeats = not os.environ.get("BENCH_EASY")
     rng = np.random.default_rng(42)
     acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
     out = np.empty(size, dtype=np.uint8)
@@ -47,6 +56,21 @@ def gen_genome(size: int) -> np.ndarray:
     for i in range(0, size, step):
         m = min(step, size - i)
         out[i : i + m] = acgt[rng.integers(0, 4, size=m, dtype=np.uint8)]
+    if repeats:
+        rep = np.random.default_rng(43)
+        placed = 0
+        target = int(size * 0.2)
+        while placed < target:
+            seg = int(10 ** rep.uniform(3.0, min(5.0, np.log10(size / 4))))
+            src = int(rep.integers(0, size - seg))
+            dst = int(rep.integers(0, size - seg))
+            chunk = out[src : src + seg].copy()
+            n_mut = rep.binomial(seg, 0.01)
+            if n_mut:
+                pos = rep.integers(0, seg, size=n_mut)
+                chunk[pos] = acgt[rep.integers(0, 4, size=n_mut)]
+            out[dst : dst + seg] = chunk
+            placed += seg
     return out
 
 
@@ -55,7 +79,8 @@ def get_genome_index():
     from mapad_tpu.index.runtime import load_index, save_index
 
     os.makedirs(CACHE, exist_ok=True)
-    prefix = os.path.join(CACHE, f"genome_{GENOME_SIZE}")
+    suffix = "" if os.environ.get("BENCH_EASY") else "_hard"
+    prefix = os.path.join(CACHE, f"genome_{GENOME_SIZE}{suffix}")
     if not os.path.exists(prefix + ".tpx/meta.json"):
         ref = gen_genome(GENOME_SIZE)
         fmd, ssa, idp, orig = build_from_sequences([("bench_chr", ref.tobytes())])
@@ -64,10 +89,14 @@ def get_genome_index():
 
 
 def make_reads(index, n_reads: int):
-    """Sample reads with aDNA-style damage: C->T near 5', elevated near ends."""
+    """aDNA-realistic read set: lognormal fragment lengths (35..~100 bp),
+    C->T deamination decaying from both ends, sequencing errors, per-base
+    quality distribution, ~8% exogenous (off-genome) reads.  BENCH_EASY=1
+    restores the round-1 fixed-75bp/q40 endogenous-only workload."""
     from mapad_tpu.map.record import Record
     from mapad_tpu.utils.seq import revcomp
 
+    easy = bool(os.environ.get("BENCH_EASY"))
     rng = np.random.default_rng(7)
     contig = index.meta["contigs"][0]
     glen = contig["end"] - contig["start"] + 1
@@ -76,19 +105,39 @@ def make_reads(index, n_reads: int):
     genome = gen_genome(GENOME_SIZE)
 
     reads = []
-    starts = rng.integers(0, glen - READ_LEN, size=n_reads)
+    starts = rng.integers(0, glen - 128, size=n_reads)
+    acgt = b"ACGT"
     for i in range(n_reads):
-        seq = bytearray(genome[starts[i] : starts[i] + READ_LEN].tobytes())
-        # deamination: C->T with decaying probability from 5' end
-        for pos in range(READ_LEN):
-            p = 0.4 * (0.55 ** pos) + 0.4 * (0.55 ** (READ_LEN - 1 - pos)) + 0.005
-            if seq[pos] == ord("C") and rng.random() < p:
-                seq[pos] = ord("T")
-            elif rng.random() < 0.002:  # sequencing error
-                seq[pos] = ord("ACGT"[int(rng.integers(0, 4))])
-        if rng.random() < 0.5:
-            seq = bytearray(revcomp(seq))
-        reads.append(Record(sequence=bytes(seq), base_qualities=bytes([40] * READ_LEN)))
+        if easy:
+            ln = READ_LEN
+            exogenous = False
+        else:
+            ln = int(np.clip(rng.lognormal(np.log(60), 0.25), 35, 120))
+            exogenous = rng.random() < 0.08
+        if exogenous:
+            seq = bytearray(
+                acgt[c] for c in rng.integers(0, 4, size=ln)
+            )
+        else:
+            seq = bytearray(genome[starts[i] : starts[i] + ln].tobytes())
+            # deamination: C->T with decaying probability from 5' end
+            for pos in range(ln):
+                p = 0.4 * (0.55 ** pos) + 0.4 * (0.55 ** (ln - 1 - pos)) + 0.005
+                if seq[pos] == ord("C") and rng.random() < p:
+                    seq[pos] = ord("T")
+                elif rng.random() < 0.002:  # sequencing error
+                    seq[pos] = acgt[int(rng.integers(0, 4))]
+            if rng.random() < 0.5:
+                seq = bytearray(revcomp(seq))
+        if easy:
+            quals = bytes([40] * ln)
+        else:
+            quals = bytes(
+                int(q) for q in np.clip(
+                    rng.normal(36, 4, size=ln), 10, 41
+                ).astype(np.uint8)
+            )
+        reads.append(Record(sequence=bytes(seq), base_qualities=quals))
     return reads
 
 
@@ -164,7 +213,10 @@ def main():
         from mapad_tpu.io.bam import BamReader
         from mapad_tpu.map import pipeline as pl_mod
 
-        fastq = os.path.join(CACHE, f"reads_{GENOME_SIZE}_{N_READS}.fq")
+        suffix = "" if os.environ.get("BENCH_EASY") else "_hard"
+        fastq = os.path.join(
+            CACHE, f"reads_{GENOME_SIZE}_{N_READS}{suffix}.fq"
+        )
         if not os.path.exists(fastq):
             write_fastq(reads, fastq)
         out_bam = tempfile.NamedTemporaryFile(
@@ -176,7 +228,7 @@ def main():
         t0 = time.perf_counter()
         pl_mod.run(
             fastq,
-            os.path.join(CACHE, f"genome_{GENOME_SIZE}"),
+            os.path.join(CACHE, f"genome_{GENOME_SIZE}{suffix}"),
             out_bam,
             True,
             params,
@@ -191,9 +243,16 @@ def main():
         os.unlink(out_bam)
 
     rps = len(reads) / elapsed
+    stats = engine._stats
+    esc_rate = stats["escalated"] / max(stats["device_lanes"], 1)
+    native_share = ""
+    if engine_kind == "hybrid" and getattr(engine, "native", None) is not None:
+        native_share = f", native_share={1 - engine._p:.2f}"
     sys.stderr.write(
         f"# {len(reads)} reads in {elapsed:.2f}s, {n_mapped} mapped, "
-        f"escalated={engine._stats['escalated']}\n"
+        f"escalated={stats['escalated']} ({esc_rate:.1%} of device lanes)"
+        f"{native_share}, workload="
+        f"{'easy' if os.environ.get('BENCH_EASY') else 'hard'}\n"
     )
     print(json.dumps({
         "metric": "reads_per_second",

@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
         prog="mapad_tpu",
         description="An aDNA aware short-read mapper (TPU-native implementation)",
     )
+    from . import build_info_version
+
+    parser.add_argument("--version", action="version",
+                        version=f"%(prog)s {build_info_version()}")
     parser.add_argument("-v", action="count", default=0,
                         help="Sets the level of verbosity")
     parser.add_argument("--threads", type=int, default=1, dest="num_threads",

@@ -18,7 +18,7 @@ from typing import NamedTuple
 
 import numpy as np
 
-from .. import CRATE_NAME, __version__
+from .. import CRATE_NAME, build_info_version
 from ..io.bam import BamRecord, SamHeader
 from ..utils.f32 import mul_add
 from ..utils.seq import revcomp
@@ -416,7 +416,7 @@ def create_bam_header(
             program_id,
             [
                 ("PN", CRATE_NAME),
-                ("VN", __version__),
+                ("VN", build_info_version()),
                 (
                     "DS",
                     "An aDNA aware short-read mapper (TPU-native implementation)",

@@ -139,9 +139,10 @@ class DeviceSearchEngine:
             # underutilize (see ROADMAP "lane scaling")
             pool_lanes = max(8, min(lanes, 512))
             # keep lanes*steps (and so the frame store) constant: the store
-            # is the HBM budget (L * S * 9 slots * NF words) and the engine
-            # keeps up to two invocations in flight
-            pool_steps = max(2048, (512 * 16384) // pool_lanes)
+            # is the HBM budget (L * S rows of 512 B) and the engine keeps
+            # up to two invocations in flight alongside the occ rows.  8192
+            # steps is ~1.4x the measured budget for a 4096-read chunk.
+            pool_steps = max(2048, (512 * 8192) // pool_lanes)
             pool_config = PoolConfig(
                 max_len=config.max_len,
                 lanes=pool_lanes,
@@ -333,9 +334,16 @@ class DeviceSearchEngine:
         # size the pattern axis to the chunk's real max read length (round
         # up to 16 to bound recompiles); cuts LUT prep + per-step gather
         # bandwidth for short-read workloads
+        import os
+
         mlen = max((len(r.sequence) for r in chunk), default=1)
         m_fit = min(cfg.max_len, max(16, -(-mlen // 16) * 16))
         cfg = cfg._replace(max_len=m_fit)
+        if os.environ.get("MAPAD_XD_STEPS"):
+            # true per-read XD timing: the kernel logs per-read step counts
+            # (reference measures per-read wall time, mapping.rs:912-918;
+            # the device-native analogue is steps x step-time)
+            cfg = cfg._replace(track_read_steps=True)
         prep = self._prepare(
             [r if len(r.sequence) <= cfg.max_len else _EMPTY for r in chunk],
             cfg.max_len, R,
@@ -368,6 +376,14 @@ class DeviceSearchEngine:
             (time.perf_counter() - t_fetch) * 1e3, elapsed * 1e3,
         )
         per_read = elapsed / max(len(chunk), 1)
+        read_time = None
+        if result.fin_log is not None and result.fin_log.shape[1] > 1:
+            log = np.asarray(result.fin_log).ravel()
+            log = log[log >= 0]
+            step_time = elapsed / max(int(result.steps), 1)
+            read_time = {
+                int(ev) // 4096: (int(ev) % 4096) * step_time for ev in log
+            }
         splits = [
             self.parameters.difference_model.find_alignment_start(
                 len(r.sequence)
@@ -414,7 +430,10 @@ class DeviceSearchEngine:
                     hits = [
                         self._decode_chain(result, k, splits[i]) for k in ks
                     ]
-                out[base + i] = (hits, per_read)
+                out[base + i] = (
+                    hits,
+                    read_time.get(i, per_read) if read_time else per_read,
+                )
 
         self._stats["device_lanes"] += len(chunk)
         self._stats["escalated"] += len(escalated)

@@ -99,6 +99,10 @@ class PoolConfig(NamedTuple):
     #   "store"  skip the st_pack history column write
     #   "ring"   skip the st_mono/bm/sb pop-structure writes
     debug_ablate: tuple = ()
+    # Per-read device step accounting for true per-read XD timing (gen-2
+    # kernel): logs (read_id, steps consumed) at each lane refill; the
+    # engine converts steps to seconds via the invocation's step time.
+    track_read_steps: bool = False
     # Fixed step count for ablation timing (0 = normal termination)
     debug_fixed_steps: int = 0
 
@@ -117,6 +121,9 @@ class PoolResult(NamedTuple):
     lane_unfinished: jax.Array  # (L,) bool lane held an unfinished read
     next_read: jax.Array  # () i32 pool watermark (reads >= this never ran)
     steps: jax.Array  # () i32
+    # (L, S) i32 finish log, rid * 4096 + min(steps, 4095) per refill event,
+    # -1 empty; (L, 1) zeros when track_read_steps is off (gen-1: always)
+    fin_log: jax.Array = None
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -683,4 +690,5 @@ def k_mismatch_search_pool(
         c_ops=c_ops, n_chains=n_chains,
         lane_read=read_id, lane_unfinished=lane_unfinished,
         next_read=next_read, steps=steps,
+        fin_log=jnp.zeros((config.lanes, 1), jnp.int32),
     )

@@ -100,6 +100,12 @@ def k_mismatch_search_pool2(
     BIG = index.big
     IDT = index.idx_dtype
     NFP = NF + 3 if BIG else NF
+    # One 512 B store row per step-block: 9 candidate records of NFP words
+    # (72 small / 99 big) padded to 128 int32.  A popped block is then ONE
+    # aligned-granule row gather per lane (~2.6 ns/row measured) instead of
+    # nine 32 B rows (~64 us/step in the round-2 trace).
+    BW = 128
+    assert CANDS * NFP <= BW
 
     def _pack64(v):
         pair = jax.lax.bitcast_convert_type(v.astype(jnp.int64), i32)
@@ -125,13 +131,21 @@ def k_mismatch_search_pool2(
         index, pattern_rank, pen, n, split,
         compute_forward_part=config.compute_forward_part,
     )
-    slut_flat = jnp.concatenate(
+    # Pack 16 read-positions of LUT data (score4 | code | bid | 2 pad) per
+    # 128-f32 (512 B) row: the per-step lookup becomes an aligned-granule
+    # row gather + in-register sub-row select, instead of XLA streaming the
+    # whole (R*M, 6) table through VMEM in windows every step.
+    RM16 = (R * M + 15) // 16
+    slut6 = jnp.concatenate(
         [
             score_lut.reshape(R * M, 4),
             pattern_code.reshape(R * M, 1).astype(jnp.float32),
             bid.reshape(R * M, 1),
         ],
         axis=1,
+    )
+    slut_flat = jnp.pad(slut6, ((0, RM16 * 16 - R * M), (0, 2))).reshape(
+        RM16, 16 * 8
     )
     consts = jnp.stack(
         [
@@ -151,7 +165,7 @@ def k_mismatch_search_pool2(
     consumed = jnp.zeros((L, RB), i32)
     bm_key = jnp.full((L, RB), INT_MIN, i32)
     lane_start = jnp.zeros((L,), i32)
-    st_pack = jnp.zeros((L, SLOTS, NFP), i32)
+    st_pack = jnp.zeros((L, S + 1, BW), i32)  # block b = slots b*9..b*9+8
 
     read_id = jnp.where(lanes < R, lanes, R)
     fresh = read_id < R
@@ -176,12 +190,15 @@ def k_mismatch_search_pool2(
     best_size = jnp.zeros((L,), IDT)
     hcount = jnp.zeros((L,), i32)
 
+    fin_log = jnp.full(
+        (L, S if config.track_read_steps else 1), -1, jnp.int32
+    )
     state = (consumed, bm_key, lane_start, st_pack, read_id, fresh,
              lane_done, next_read, lane_age, c_n, c_split, c_scale, c_thresh,
-             c_repr, best_score, best_size, hcount, jnp.int32(0))
+             c_repr, best_score, best_size, hcount, fin_log, jnp.int32(0))
 
     def cond(state):
-        lane_done, step = state[6], state[17]
+        lane_done, step = state[6], state[18]
         if config.debug_fixed_steps:
             return step < min(S, config.debug_fixed_steps)
         return jnp.logical_and(step < S, ~jnp.all(lane_done))
@@ -189,7 +206,7 @@ def k_mismatch_search_pool2(
     def body(state):
         (consumed, bm_key, lane_start, st_pack, read_id, fresh,
          lane_done, next_read, lane_age, c_n, c_split, c_scale, c_thresh,
-         c_repr, best_score, best_size, hcount, step) = state
+         c_repr, best_score, best_size, hcount, fin_log, step) = state
 
         active = ~lane_done
 
@@ -213,11 +230,10 @@ def k_mismatch_search_pool2(
         working = active & (fresh | popped)
         do_pop = working & ~fresh
 
-        # --- fetch the popped block's 9 candidate records (one gather) ---
+        # --- fetch the popped block's 9 candidate records (one row/lane) ---
         blk_full = jnp.clip(S - 1 - pstep, 0, S - 1)
-        rows9 = st_pack[
-            lanes[:, None], blk_full[:, None] * CANDS + cand_iota
-        ]  # (L, CANDS, NFP)
+        brow = st_pack[lanes, blk_full]  # (L, BW)
+        rows9 = brow[:, : CANDS * NFP].reshape(L, CANDS, NFP)
         op9s = rows9[:, :, F_OP]
         live9 = ((op9s & OP_PUSHED_BIT) != 0) & (
             ((cword[:, None] >> cand_iota) & 1) == 0
@@ -301,16 +317,26 @@ def k_mismatch_search_pool2(
         bk = jnp.clip(d_k, 0, M - 1)
         t = nn - (1 + d_l)
         ci = jnp.clip(t + c_split, 0, M - 1)
-        rows3 = slut_flat[
-            jnp.stack([base + j_c, base + bk, base + ci], axis=1)
-        ]  # (L, 3, 6)
-        Sj = rows3[:, 0, :4]
-        pat_j = rows3[:, 0, 4].astype(i32)
+        lidx = jnp.stack([base + j_c, base + bk, base + ci], axis=1)  # (L,3)
+        rows3 = slut_flat[lidx // 16]  # (L, 3, 128) fast 512 B row gathers
+        sub = (lidx % 16) * 8
+
+        def lw(col, word):  # sub-row word extract, in-register
+            return jnp.take_along_axis(
+                rows3[:, col, :], (sub[:, col] + word)[:, None], axis=1
+            )[:, 0]
+
+        Sj = jnp.take_along_axis(
+            rows3[:, 0, :],
+            sub[:, 0:1] + jnp.arange(4, dtype=i32)[None, :],
+            axis=1,
+        )  # (L, 4)
+        pat_j = lw(0, 4).astype(i32)
         d_rev = jnp.where(
-            (d_k >= 0) & (d_k < nn), rows3[:, 1, 5], jnp.float32(0.0)
+            (d_k >= 0) & (d_k < nn), lw(1, 5), jnp.float32(0.0)
         )
         d_fwd = jnp.where(
-            (t >= 0) & (t + c_split < nn), rows3[:, 2, 5], jnp.float32(0.0)
+            (t >= 0) & (t + c_split < nn), lw(2, 5), jnp.float32(0.0)
         )
         lb = (d_rev + d_fwd).astype(jnp.float32)
 
@@ -367,7 +393,20 @@ def k_mismatch_search_pool2(
             s_size = ch_size[:, slot]
             nonzero = s_size >= 1
             code = pick(slot, 3 - slot)
-            mm_score = (Sj[lanes, code] + f_score).astype(jnp.float32)
+            # arithmetic select of Sj[:, code] (code is per-lane only in
+            # bidirectional mode; backward-only folds to a static column)
+            if config.backward_only:
+                sj_c = Sj[:, 3 - slot]
+            else:
+                sj_c = jnp.sum(
+                    jnp.where(
+                        jax.lax.broadcasted_iota(i32, (L, 4), 1)
+                        == code[:, None],
+                        Sj, jnp.float32(0.0),
+                    ),
+                    axis=1, dtype=jnp.float32,
+                )
+            mm_score = (sj_c + f_score).astype(jnp.float32)
 
             ok = (
                 still & nonzero & ~del_rej & del_allowed
@@ -458,12 +497,18 @@ def k_mismatch_search_pool2(
             + extra,
             axis=2,
         )
-        # store block for step s lives at (S-1-s)*CANDS (store grows
-        # downward so newest-first collector order is slot-descending)
+        # store block for step s lives at row S-1-s (store grows downward
+        # so newest-first collector order is slot-descending)
         blk = S - 1 - step
+        rowpack = jnp.concatenate(
+            [
+                pack9[:, ::-1, :].reshape(L, CANDS * NFP),
+                jnp.zeros((L, BW - CANDS * NFP), i32),
+            ],
+            axis=1,
+        )[:, None, :]
         st_pack = jax.lax.dynamic_update_slice(
-            st_pack, pack9[:, ::-1, :],
-            (jnp.int32(0), blk * CANDS, jnp.int32(0)),
+            st_pack, rowpack, (jnp.int32(0), blk, jnp.int32(0))
         )
         # push column into the pop arrays at the (scalar) ring slot
         mono9 = jnp.where(push9, mono(score9), INT_MIN)[:, ::-1]
@@ -483,6 +528,17 @@ def k_mismatch_search_pool2(
         finish = finish_empty | finish_stop | finish_hits | abandon
         rank = jnp.cumsum(finish.astype(i32)) - finish.astype(i32)
         new_rid = next_read + rank
+        if config.track_read_steps:
+            # log (read id, steps consumed incl. this one) per finish event
+            ev = jnp.where(
+                finish,
+                jnp.clip(read_id, 0, R) * 4096
+                + jnp.minimum(lane_age + active.astype(i32), 4095),
+                -1,
+            )
+            fin_log = jax.lax.dynamic_update_slice(
+                fin_log, ev[:, None], (jnp.int32(0), step)
+            )
         read_id = jnp.where(finish, jnp.minimum(new_rid, R), read_id)
         win = jax.lax.dynamic_slice(
             consts_pad, (next_read, jnp.int32(0)), (L, 5)
@@ -522,12 +578,13 @@ def k_mismatch_search_pool2(
 
         return (consumed, bm_key, lane_start, st_pack, read_id, fresh,
                 lane_done, next_read, lane_age, c_n, c_split, c_scale,
-                c_thresh, c_repr, best_score, best_size, hcount, step + 1)
+                c_thresh, c_repr, best_score, best_size, hcount, fin_log,
+                step + 1)
 
     state = jax.lax.while_loop(cond, body, state)
     (consumed, bm_key, lane_start, st_pack, read_id, fresh, lane_done,
      next_read, lane_age, c_n, c_split, c_scale, c_thresh, c_repr,
-     best_score, best_size, hcount, steps) = state
+     best_score, best_size, hcount, fin_log, steps) = state
 
     lane_unfinished = ~lane_done & (read_id < R)
 
@@ -536,16 +593,13 @@ def k_mismatch_search_pool2(
     # stage 1 reduces each 9-candidate block to a bitmask, stage 2 top_k's
     # the ~9x-smaller block keys, stage 3 expands the selected blocks and
     # orders their set bits with a small top_k ---
-    op_col = st_pack[:, :, F_OP]
-    comp_mask = (op_col & (OP_COMP_BIT | OP_ABANDON_BIT)) != 0
+    NB9 = S + 1  # physical block rows (block S = ROOT, all zero)
+    op9_col = st_pack[:, :, [c * NFP + F_OP for c in range(CANDS)]]
+    comp_mask = (op9_col & (OP_COMP_BIT | OP_ABANDON_BIT)) != 0  # (L,NB9,9)
     n_chains = jnp.sum(comp_mask, dtype=i32)
-    NB9 = SLOTS // CANDS + 1  # S blocks + the ROOT slot's padded block
-    comp_pad = jnp.pad(
-        comp_mask, ((0, 0), (0, NB9 * CANDS - SLOTS))
-    ).reshape(L, NB9, CANDS)
     blk_bits = jnp.sum(
         jnp.where(
-            comp_pad,
+            comp_mask,
             jnp.int32(1) << jax.lax.broadcasted_iota(i32, (L, NB9, CANDS), 2),
             0,
         ),
@@ -578,30 +632,43 @@ def k_mismatch_search_pool2(
     c_lane = b_lane[e_row]
     c_slot = b_blk[e_row] * CANDS + e_cand
 
-    entry = st_pack[c_lane, c_slot]  # (C, NFP)
-    c_abandon = ((entry[:, F_OP] & OP_ABANDON_BIT) != 0) & valid_chain
-    c_read = jnp.where(valid_chain, entry[:, F_GAPS], -1)
+    rows_c = st_pack[c_lane, c_slot // CANDS]  # (C, BW)
+    base_c = (c_slot % CANDS) * NFP
+
+    def fld(f):
+        return jnp.take_along_axis(rows_c, (base_c + f)[:, None], axis=1)[:, 0]
+
+    e_op = fld(F_OP)
+    c_abandon = ((e_op & OP_ABANDON_BIT) != 0) & valid_chain
+    c_read = jnp.where(valid_chain, fld(F_GAPS), -1)
     if BIG:
-        c_lower = _unpack64(entry[:, F_LOWER], entry[:, NF + 0])
-        c_lrev = _unpack64(entry[:, F_LREV], entry[:, NF + 1])
-        c_size = _unpack64(entry[:, F_SIZE], entry[:, NF + 2])
+        c_lower = _unpack64(fld(F_LOWER), fld(NF + 0))
+        c_lrev = _unpack64(fld(F_LREV), fld(NF + 1))
+        c_size = _unpack64(fld(F_SIZE), fld(NF + 2))
     else:
-        c_lower = entry[:, F_LOWER]
-        c_lrev = entry[:, F_LREV]
-        c_size = entry[:, F_SIZE]
-    c_score = jax.lax.bitcast_convert_type(entry[:, F_SCOREBITS], jnp.float32)
+        c_lower = fld(F_LOWER)
+        c_lrev = fld(F_LREV)
+        c_size = fld(F_SIZE)
+    c_score = jax.lax.bitcast_convert_type(fld(F_SCOREBITS), jnp.float32)
 
     MW = M + 16
     walk_valid = valid_chain & ~c_abandon
-    node0 = jnp.where(walk_valid, entry[:, F_PARENT], ROOT)
-    op0 = jnp.where(walk_valid, entry[:, F_OP], 0)
+    node0 = jnp.where(walk_valid, fld(F_PARENT), ROOT)
+    op0 = jnp.where(walk_valid, e_op, 0)
 
     def walk(carry, _):
         node = carry
-        e = st_pack[c_lane, node]
+        rows = st_pack[c_lane, node // CANDS]  # (C, BW)
+        nbase = (node % CANDS) * NFP
+
+        def nfld(f):
+            return jnp.take_along_axis(
+                rows, (nbase + f)[:, None], axis=1
+            )[:, 0]
+
         at_root = node == ROOT
-        word = jnp.where(at_root, 0, e[:, F_OP])
-        nxt = jnp.where(at_root, ROOT, e[:, F_PARENT])
+        word = jnp.where(at_root, 0, nfld(F_OP))
+        nxt = jnp.where(at_root, ROOT, nfld(F_PARENT))
         return nxt, word
 
     _, words = jax.lax.scan(walk, node0, None, length=MW - 1)
@@ -612,5 +679,5 @@ def k_mismatch_search_pool2(
         c_lower=c_lower, c_lrev=c_lrev, c_size=c_size, c_score=c_score,
         c_ops=c_ops, n_chains=n_chains,
         lane_read=read_id, lane_unfinished=lane_unfinished,
-        next_read=next_read, steps=steps,
+        next_read=next_read, steps=steps, fin_log=fin_log,
     )

@@ -37,7 +37,10 @@ def test_big_index_layout(small_fmd):
     small = DeviceFmIndex.from_host(fmd, big=False)
     big = DeviceFmIndex.from_host(fmd, big=True)
     assert not small.big and big.big
-    assert big.rows.shape[1] == small.rows.shape[1] + 6
+    # both modes use exactly-128-int32 (512 B) fused rows; big mode trades
+    # symbols per block for the extra 6 checkpoint-hi words
+    assert big.rows.shape[1] == 128 and small.rows.shape[1] == 128
+    assert big.occ_k == (128 - 12) * 8 and small.occ_k == (128 - 6) * 8
     assert big.less.dtype == jnp.int64
     # same extension results, wider dtype
     lower = jnp.asarray([0, 5, 100], jnp.int64)

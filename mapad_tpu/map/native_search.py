@@ -161,6 +161,58 @@ class NativeSearcher:
         return hits
 
 
+class NativeBiD:
+    """Batch Bi-D arrays on the host (native compute_bid_batch).
+
+    Same reference semantics as map.bi_d_array.BiDArray / ops.bi_d
+    (src/map/bi_d_array.rs); computed threaded on host cores so the device
+    kernel can skip its ~150 ms per-invocation Bi-D prologue and take the
+    score-LUT table prepacked (ops/search_pool2.py slut layout)."""
+
+    def __init__(self, fmd):
+        self._bwt = np.ascontiguousarray(fmd.bwt, dtype=np.uint8)
+        less = np.zeros(6, dtype=np.int64)
+        less[: len(fmd.less)] = np.asarray(fmd.less, dtype=np.int64)[:6]
+        self._less = less
+        cp = np.asarray(fmd.occ_cp, dtype=np.int64)
+        if cp.shape[1] < 6:
+            cp = np.pad(cp, ((0, 0), (0, 6 - cp.shape[1])))
+        elif cp.shape[1] > 6:
+            cp = cp[:, :6]
+        self._occ_cp = np.ascontiguousarray(cp)
+        self._sent = np.asarray(fmd.sentinel_occ, dtype=np.int64)
+        self._occ_k = int(fmd.occ_k)
+
+    def compute(self, ranks, pens, ns, splits, threads: int = 0):
+        """ranks (R, M) u8, pens (R, M) f32, ns/splits (R,) i32
+        -> (R, M) f32 composite (zero beyond each read's length)."""
+        lib = _load()
+        assert lib is not None
+        ranks = np.ascontiguousarray(ranks, dtype=np.uint8)
+        pens = np.ascontiguousarray(pens, dtype=np.float32)
+        ns = np.ascontiguousarray(ns, dtype=np.int32)
+        splits = np.ascontiguousarray(splits, dtype=np.int32)
+        R, M = ranks.shape
+        out = np.empty((R, M), dtype=np.float32)
+        if not threads:
+            threads = min(4, os.cpu_count() or 1)
+
+        def ptr(a, t):
+            return a.ctypes.data_as(ctypes.POINTER(t))
+
+        lib.compute_bid_batch(
+            ptr(self._bwt, ctypes.c_uint8), ctypes.c_int64(len(self._bwt)),
+            ptr(self._less, ctypes.c_int64),
+            ptr(self._occ_cp, ctypes.c_int64),
+            ctypes.c_int64(self._occ_k), ptr(self._sent, ctypes.c_int64),
+            ptr(ranks, ctypes.c_uint8), ptr(pens, ctypes.c_float),
+            ptr(ns, ctypes.c_int32), ptr(splits, ctypes.c_int32),
+            ctypes.c_int32(R), ctypes.c_int32(M), ctypes.c_int32(threads),
+            ptr(out, ctypes.c_float),
+        )
+        return out
+
+
 class NativeSearchEngine:
     """Multi-core host engine: vectorized LUT prep + threaded native search.
 

@@ -160,7 +160,13 @@ class DeviceSearchEngine:
 
     # --- host-side per-read preparation (exact f32 paths) ---
 
-    def _prepare(self, records, max_len: int, lanes: int | None = None):
+    def _prepare(self, records, max_len: int, lanes: int | None = None,
+                 host_bid: bool = False):
+        """host_bid: compute the Bi-D arrays on host C++ cores and return a
+        prepacked score-LUT/Bi-D table ("slut_packed", the gen-2 kernel's
+        512 B-row layout) instead of uploading the per-read LUT arrays --
+        skips the ~150 ms on-device Bi-D prologue per invocation and
+        overlaps Bi-D with device search via the 2-in-flight pipeline."""
         import jax.numpy as jnp
 
         L = lanes if lanes is not None else self.lanes
@@ -209,6 +215,32 @@ class DeviceSearchEngine:
                 n[:n_real],
             )
 
+        if host_bid:
+            import os
+
+            bid = self._native_bid().compute(
+                pattern_rank.astype(np.uint8), pen, n, split,
+                threads=max(1, (os.cpu_count() or 2) - 1),
+            )
+            RM = L * max_len
+            RM16 = (RM + 15) // 16
+            packed = np.zeros((RM16 * 16, 8), dtype=np.float32)
+            packed[:RM, :4] = score_lut.reshape(RM, 4)
+            packed[:RM, 4] = pattern_code.reshape(RM).astype(np.float32)
+            packed[:RM, 5] = bid.reshape(RM)
+            empty2 = jnp.zeros((L, 0), jnp.int32)
+            return dict(
+                pattern_rank=empty2,
+                pattern_code=empty2,
+                n=jnp.asarray(n),
+                score_lut=jnp.zeros((L, 0, 4), jnp.float32),
+                pen=jnp.zeros((L, 0), jnp.float32),
+                split=jnp.asarray(split),
+                cutoff_scale=jnp.asarray(cutoff_scale),
+                cutoff_thresh=jnp.asarray(cutoff_thresh),
+                repr_mm=jnp.asarray(repr_mm),
+                slut_packed=jnp.asarray(packed.reshape(RM16, 128)),
+            )
         return dict(
             pattern_rank=jnp.asarray(pattern_rank),
             pattern_code=jnp.asarray(pattern_code),
@@ -344,13 +376,14 @@ class DeviceSearchEngine:
             # (reference measures per-read wall time, mapping.rs:912-918;
             # the device-native analogue is steps x step-time)
             cfg = cfg._replace(track_read_steps=True)
+        host_bid = self._host_bid_active()
         prep = self._prepare(
             [r if len(r.sequence) <= cfg.max_len else _EMPTY for r in chunk],
-            cfg.max_len, R,
+            cfg.max_len, R, host_bid=host_bid,
         )
         logger.debug(
-            "pool dispatch: prep %.0fms for %d reads",
-            (time.perf_counter() - t0) * 1e3, len(chunk),
+            "pool dispatch: prep %.0fms for %d reads (host_bid=%s)",
+            (time.perf_counter() - t0) * 1e3, len(chunk), host_bid,
         )
         # padded/empty reads must reject everything and finish immediately
         n_host = np.asarray(prep["n"])
@@ -359,11 +392,14 @@ class DeviceSearchEngine:
         import jax.numpy as jnp
 
         prep["cutoff_thresh"] = jnp.asarray(thresh)
+        kw = (
+            {"slut_packed": prep["slut_packed"]} if host_bid else {}
+        )
         handle = _pool_impl()(
             self.device_index, prep["pattern_rank"], prep["pattern_code"],
             prep["n"], prep["score_lut"], prep["pen"], prep["split"],
             prep["cutoff_scale"], prep["cutoff_thresh"], prep["repr_mm"],
-            params, cfg,
+            params, cfg, **kw,
         )
         return handle, t0
 
@@ -587,6 +623,26 @@ class DeviceSearchEngine:
                 else None
             )
         return self._native_searcher
+
+    def _native_bid(self):
+        from ..map import native_search
+
+        if getattr(self, "_native_bid_cache", None) is None:
+            self._native_bid_cache = native_search.NativeBiD(self.fmd)
+        return self._native_bid_cache
+
+    def _host_bid_active(self) -> bool:
+        """Host-C++ Bi-D + prepacked LUT table (gen-2 kernel only)."""
+        import os
+
+        from ..map import native_search
+
+        if os.environ.get("MAPAD_HOST_BID", "1") == "0":
+            return False
+        return (
+            os.environ.get("MAPAD_POOL_IMPL", "2") == "2"
+            and native_search.available()
+        )
 
     def _fallback_one(self, records, i):
         searcher = self._ensure_native()

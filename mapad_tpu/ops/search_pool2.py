@@ -70,19 +70,24 @@ OP_PUSHED_BIT = 1 << 23  # op word of a live (poppable) pushed frame
 @functools.partial(jax.jit, static_argnames=("config",))
 def k_mismatch_search_pool2(
     index: DeviceFmIndex,
-    pattern_rank,  # (R, M) i32
-    pattern_code,  # (R, M) i32
+    pattern_rank,  # (R, M) i32 ((R, 0) placeholder with slut_packed)
+    pattern_code,  # (R, M) i32 (placeholder with slut_packed)
     n,  # (R,) i32
-    score_lut,  # (R, M, 4) f32
-    pen,  # (R, M) f32
+    score_lut,  # (R, M, 4) f32 (placeholder with slut_packed)
+    pen,  # (R, M) f32 (placeholder with slut_packed)
     split,  # (R,) i32
     cutoff_scale,  # (R,) f32
     cutoff_thresh,  # (R,) f32
     repr_mm,  # (R,) f32
     params,  # SearchParams
     config: PoolConfig,
+    slut_packed=None,  # (ceil(R*M/16), 128) f32 host-packed LUT+Bi-D table
 ) -> PoolResult:
-    R, M = pattern_rank.shape
+    """With slut_packed (host C++ Bi-D + numpy packing, engine._prepare),
+    the ~150 ms device Bi-D prologue and the LUT packing are skipped; the
+    table layout must match the device packing below exactly."""
+    R = n.shape[0]
+    M = pattern_rank.shape[1] if pattern_rank.shape[1] else config.max_len
     L = config.lanes
     S = config.total_steps
     SLOTS = S * CANDS + 1
@@ -127,26 +132,30 @@ def k_mismatch_search_pool2(
             k ^ ((k >> 31) & 0x7FFFFFFF), jnp.float32
         )
 
-    bid = compute_bi_d(
-        index, pattern_rank, pen, n, split,
-        compute_forward_part=config.compute_forward_part,
-    )
     # Pack 16 read-positions of LUT data (score4 | code | bid | 2 pad) per
     # 128-f32 (512 B) row: the per-step lookup becomes an aligned-granule
     # row gather + in-register sub-row select, instead of XLA streaming the
     # whole (R*M, 6) table through VMEM in windows every step.
     RM16 = (R * M + 15) // 16
-    slut6 = jnp.concatenate(
-        [
-            score_lut.reshape(R * M, 4),
-            pattern_code.reshape(R * M, 1).astype(jnp.float32),
-            bid.reshape(R * M, 1),
-        ],
-        axis=1,
-    )
-    slut_flat = jnp.pad(slut6, ((0, RM16 * 16 - R * M), (0, 2))).reshape(
-        RM16, 16 * 8
-    )
+    if slut_packed is not None:
+        assert slut_packed.shape == (RM16, 128), slut_packed.shape
+        slut_flat = slut_packed
+    else:
+        bid = compute_bi_d(
+            index, pattern_rank, pen, n, split,
+            compute_forward_part=config.compute_forward_part,
+        )
+        slut6 = jnp.concatenate(
+            [
+                score_lut.reshape(R * M, 4),
+                pattern_code.reshape(R * M, 1).astype(jnp.float32),
+                bid.reshape(R * M, 1),
+            ],
+            axis=1,
+        )
+        slut_flat = jnp.pad(slut6, ((0, RM16 * 16 - R * M), (0, 2))).reshape(
+            RM16, 16 * 8
+        )
     consts = jnp.stack(
         [
             n.astype(i32),

@@ -16,6 +16,8 @@
 #include <cstring>
 #include <limits>
 #include <vector>
+#include <atomic>
+#include <thread>
 
 namespace {
 
@@ -436,4 +438,43 @@ int search_read(
     }
     return (int32_t)hits.size();
 }
+
+// Batch Bi-D arrays for R reads (threaded; ctypes releases the GIL).
+// ranks/pens/out are (R, M) row-major; per read only the first ns[r]
+// columns are meaningful, the rest of out is zero-filled.  Exact reference
+// semantics (bi_d_array.rs) via the same compute_bi_d as search_read.
+int compute_bid_batch(
+    const uint8_t* bwt, int64_t bwt_len, const int64_t* less,
+    const int64_t* occ_cp, int64_t occ_k, const int64_t* sentinels,
+    const uint8_t* ranks, const float* pens, const int32_t* ns,
+    const int32_t* splits, int32_t R, int32_t M, int32_t n_threads,
+    float* out) {
+    FmIndex idx{bwt, bwt_len, less, occ_cp, occ_k, sentinels[0],
+                sentinels[1]};
+    if (n_threads < 1) n_threads = 1;
+    std::atomic<int32_t> next(0);
+    auto work = [&]() {
+        std::vector<float> comp;
+        for (;;) {
+            int32_t r = next.fetch_add(1);
+            if (r >= R) break;
+            int32_t n = ns[r];
+            float* o = out + (int64_t)r * M;
+            std::fill(o, o + M, 0.0f);
+            if (n <= 0) continue;
+            compute_bi_d(idx, ranks + (int64_t)r * M, n, splits[r],
+                         pens + (int64_t)r * M, comp);
+            std::copy(comp.begin(), comp.end(), o);
+        }
+    };
+    if (n_threads == 1) {
+        work();
+    } else {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < n_threads; t++) ts.emplace_back(work);
+        for (auto& t : ts) t.join();
+    }
+    return 0;
+}
+
 }

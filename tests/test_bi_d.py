@@ -86,3 +86,69 @@ def test_device_bi_d_matches_host():
             ln = n[i]
             assert np.array_equal(comp[i, :ln], host_bd.d_composite), (
                 i, split_frac, comp[i, :ln], host_bd.d_composite)
+
+
+def test_native_bid_batch_matches_host():
+    """C++ compute_bid_batch (threaded host Bi-D for the slut_packed path)
+    vs the Python BiDArray port, bit-exact, fuzzed over random reads."""
+    import pytest
+
+    from mapad_tpu.map import native_search
+    from mapad_tpu.ops.engine import _RANK_TABLE
+
+    if not native_search.available():
+        pytest.skip("native searcher unavailable")
+
+    rng = np.random.default_rng(17)
+    ref = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=4096))
+    fmd, _ = build_auxiliary_structures(ref, b"ACGT")
+    dm = TestDifferenceModel(deam_score=-1.0, mm_score=-1.0, match_score=0.0)
+    repr_mm = dm.get_representative_mismatch_penalty()
+    params = AlignmentParameters(
+        difference_model=dm,
+        mismatch_bound=TestBound(threshold=0.0, representative_mm_bound=repr_mm),
+        penalty_gap_open=np.log2(np.float32(0.00001)),
+        penalty_gap_extend=repr_mm,
+        chunk_size=1, gap_dist_ends=2, stack_limit_abort=False,
+        max_num_gaps_open=2,
+    )
+
+    R, M = 24, 48
+    rank = np.zeros((R, M), np.uint8)
+    pen = np.zeros((R, M), np.float32)
+    ns = np.zeros(R, np.int32)
+    splits = np.zeros(R, np.int32)
+    hosts = []
+    for i in range(R):
+        ln = int(rng.integers(20, M + 1))
+        if i % 5 == 0:
+            seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=ln)
+        else:
+            start = int(rng.integers(0, len(ref) - ln))
+            seq = np.frombuffer(ref[start:start + ln], np.uint8).copy()
+            for _ in range(3):  # mutations force walk failures
+                seq[int(rng.integers(0, ln))] = rng.choice(
+                    np.frombuffer(b"ACGT", np.uint8)
+                )
+        q = rng.integers(10, 41, size=ln).astype(np.uint8)
+        ns[i] = ln
+        splits[i] = ln if i % 2 == 0 else ln // 2  # backward-only + split
+        rank[i, :ln] = _RANK_TABLE[seq]
+        best_mm = dm.min_penalties_mm_only(seq, q)
+        opt = dm.optimal_penalties(seq, q)
+        mm_retval = np.float32(best_mm - opt)
+        idx = np.arange(ln)
+        ga = np.minimum(idx, ln - idx - 1) >= params.gap_dist_ends
+        pen[i, :ln] = np.where(
+            ga, np.maximum(mm_retval, params.penalty_gap_extend), mm_retval
+        )
+        hosts.append(BiDArray(seq, q, splits[i], params, fmd, dm))
+
+    nb = native_search.NativeBiD(fmd)
+    for threads in (1, 3):
+        out = nb.compute(rank, pen, ns, splits, threads=threads)
+        for i, host_bd in enumerate(hosts):
+            ln = ns[i]
+            assert np.array_equal(out[i, :ln], host_bd.d_composite), (
+                threads, i, out[i, :ln], host_bd.d_composite)
+            assert not out[i, ln:].any()

@@ -280,3 +280,40 @@ def test_hybrid_engine_equals_oracle(bench_fixture):
     for (hits, _dur), read in zip(results, reads):
         oracle_hits = oracle_search(read, [40] * len(read), params, fmd)
         assert_hits_equal(hits, oracle_hits, read[:16])
+
+
+def test_pool_host_bid_equals_device_bid(bench_fixture, monkeypatch):
+    """The host-C++ Bi-D + prepacked-LUT dispatch path (slut_packed) must be
+    output-identical to the on-device Bi-D path."""
+    from mapad_tpu.map import native_search
+    from mapad_tpu.ops.search_pool import PoolConfig
+
+    if not native_search.available():
+        pytest.skip("native searcher unavailable")
+
+    ref, fmd, _ = bench_fixture
+    params = _adna_params()
+    rng = np.random.default_rng(321)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    reads = []
+    for _ in range(40):
+        ln = int(rng.integers(20, 101))
+        start = int(rng.integers(0, len(ref) - ln))
+        seq = bytearray(ref[start : start + ln])
+        for _ in range(int(rng.integers(0, 3))):
+            seq[int(rng.integers(0, ln))] = int(rng.choice(bases))
+        reads.append(bytes(seq))
+
+    cfg = PoolConfig(max_len=128, lanes=16, total_steps=16384,
+                     max_chains=512, compute_forward_part=False)
+
+    def run(flag):
+        monkeypatch.setenv("MAPAD_HOST_BID", flag)
+        engine = DeviceSearchEngine(fmd, params, mode="pool", pool_config=cfg)
+        assert engine._host_bid_active() == (flag == "1")
+        return engine.search_chunk(_records(reads))
+
+    res_dev = run("0")
+    res_host = run("1")
+    for (dh, _), (hh, _) in zip(res_dev, res_host):
+        assert_hits_equal(hh, dh)

@@ -147,7 +147,10 @@ class DeviceSearchEngine:
                 max_len=config.max_len,
                 lanes=pool_lanes,
                 total_steps=pool_steps,
-                read_step_cap=min(2048, pool_steps),
+                # CAP=1024 on-chip: 3828 vs 5339 steps on the 4096-read
+                # hard-workload chunk for a ~4% escalation bump the native
+                # fallback absorbs (tools/measure_r2.py sweep)
+                read_step_cap=min(1024, pool_steps),
                 compute_forward_part=config.compute_forward_part,
                 backward_only=self._is_backward_only,
             )

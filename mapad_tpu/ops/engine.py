@@ -226,11 +226,10 @@ class DeviceSearchEngine:
                 threads=max(1, (os.cpu_count() or 2) - 1),
             )
             RM = L * max_len
-            RM16 = (RM + 15) // 16
-            packed = np.zeros((RM16 * 16, 8), dtype=np.float32)
-            packed[:RM, :4] = score_lut.reshape(RM, 4)
-            packed[:RM, 4] = pattern_code.reshape(RM).astype(np.float32)
-            packed[:RM, 5] = bid.reshape(RM)
+            packed = np.zeros((RM, 8), dtype=np.float32)
+            packed[:, :4] = score_lut.reshape(RM, 4)
+            packed[:, 4] = pattern_code.reshape(RM).astype(np.float32)
+            packed[:, 5] = bid.reshape(RM)
             empty2 = jnp.zeros((L, 0), jnp.int32)
             return dict(
                 pattern_rank=empty2,
@@ -242,7 +241,7 @@ class DeviceSearchEngine:
                 cutoff_scale=jnp.asarray(cutoff_scale),
                 cutoff_thresh=jnp.asarray(cutoff_thresh),
                 repr_mm=jnp.asarray(repr_mm),
-                slut_packed=jnp.asarray(packed.reshape(RM16, 128)),
+                slut_packed=jnp.asarray(packed),
             )
         return dict(
             pattern_rank=jnp.asarray(pattern_rank),

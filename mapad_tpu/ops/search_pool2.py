@@ -132,30 +132,38 @@ def k_mismatch_search_pool2(
             k ^ ((k >> 31) & 0x7FFFFFFF), jnp.float32
         )
 
-    # Pack 16 read-positions of LUT data (score4 | code | bid | 2 pad) per
-    # 128-f32 (512 B) row: the per-step lookup becomes an aligned-granule
-    # row gather + in-register sub-row select, instead of XLA streaming the
-    # whole (R*M, 6) table through VMEM in windows every step.
-    RM16 = (R * M + 15) // 16
+    # One 512 B row per read-position (score4 | code | bid | 122 pad f32):
+    # the per-step lookup is then a direct aligned-granule HBM row gather
+    # with STATIC word extracts.  The 16-positions-per-row packing this
+    # replaces measured 23 us/step of whole-table VMEM staging (XLA
+    # prefetched the 16 MB table twice per step) plus 28 us/step of dynamic
+    # sub-row selects (take_along_axis) on chip; at R*M rows the table
+    # (~270 MB) cannot be VMEM-staged, forcing the fast direct-gather path
+    # (same as the occ rows, ~2 us/step).  Built on device from the 32 B/row
+    # payload so the host->device transfer stays small.
     if slut_packed is not None:
-        assert slut_packed.shape == (RM16, 128), slut_packed.shape
-        slut_flat = slut_packed
+        assert slut_packed.shape == (R * M, 8), slut_packed.shape
+        slut8 = slut_packed
     else:
         bid = compute_bi_d(
             index, pattern_rank, pen, n, split,
             compute_forward_part=config.compute_forward_part,
         )
-        slut6 = jnp.concatenate(
+        slut8 = jnp.concatenate(
             [
                 score_lut.reshape(R * M, 4),
                 pattern_code.reshape(R * M, 1).astype(jnp.float32),
                 bid.reshape(R * M, 1),
+                jnp.zeros((R * M, 2), jnp.float32),
             ],
             axis=1,
         )
-        slut_flat = jnp.pad(slut6, ((0, RM16 * 16 - R * M), (0, 2))).reshape(
-            RM16, 16 * 8
-        )
+    # the barrier forces the padded table to materialize in HBM -- XLA must
+    # not fuse the pad into the per-step gathers (that re-reads the narrow
+    # 32 B rows the layout exists to avoid)
+    slut_rows = jax.lax.optimization_barrier(
+        jnp.pad(slut8, ((0, 0), (0, 120)))
+    )
     consts = jnp.stack(
         [
             n.astype(i32),
@@ -325,28 +333,30 @@ def k_mismatch_search_pool2(
         base = rid_c * M
         bk = jnp.clip(d_k, 0, M - 1)
         t = nn - (1 + d_l)
-        ci = jnp.clip(t + c_split, 0, M - 1)
-        lidx = jnp.stack([base + j_c, base + bk, base + ci], axis=1)  # (L,3)
-        rows3 = slut_flat[lidx // 16]  # (L, 3, 128) fast 512 B row gathers
-        sub = (lidx % 16) * 8
-
-        def lw(col, word):  # sub-row word extract, in-register
-            return jnp.take_along_axis(
-                rows3[:, col, :], (sub[:, col] + word)[:, None], axis=1
-            )[:, 0]
-
-        Sj = jnp.take_along_axis(
-            rows3[:, 0, :],
-            sub[:, 0:1] + jnp.arange(4, dtype=i32)[None, :],
-            axis=1,
-        )  # (L, 4)
-        pat_j = lw(0, 4).astype(i32)
-        d_rev = jnp.where(
-            (d_k >= 0) & (d_k < nn), lw(1, 5), jnp.float32(0.0)
-        )
-        d_fwd = jnp.where(
-            (t >= 0) & (t + c_split < nn), lw(2, 5), jnp.float32(0.0)
-        )
+        if config.backward_only:
+            # bk == j_c (d_k == j == f_start - 1) and split == n makes the
+            # forward-D guard t + split < n statically false: ONE row
+            # gather serves Sj, pat_j and d_rev; d_fwd is identically 0.
+            row_j = slut_rows[base + j_c]  # (L, 128)
+            d_rev = jnp.where(
+                (d_k >= 0) & (d_k < nn), row_j[:, 5], jnp.float32(0.0)
+            )
+            d_fwd = jnp.float32(0.0)
+        else:
+            ci = jnp.clip(t + c_split, 0, M - 1)
+            rows3 = slut_rows[
+                jnp.stack([base + j_c, base + bk, base + ci], axis=1)
+            ]  # (L, 3, 128)
+            row_j = rows3[:, 0]
+            d_rev = jnp.where(
+                (d_k >= 0) & (d_k < nn), rows3[:, 1, 5], jnp.float32(0.0)
+            )
+            d_fwd = jnp.where(
+                (t >= 0) & (t + c_split < nn), rows3[:, 2, 5],
+                jnp.float32(0.0),
+            )
+        Sj = row_j[:, :4]  # (L, 4) static extracts
+        pat_j = row_j[:, 4].astype(i32)
         lb = (d_rev + d_fwd).astype(jnp.float32)
 
         def reject(v):
@@ -668,12 +678,16 @@ def k_mismatch_search_pool2(
     def walk(carry, _):
         node = carry
         rows = st_pack[c_lane, node // CANDS]  # (C, BW)
-        nbase = (node % CANDS) * NFP
+        cand = node % CANDS
 
         def nfld(f):
-            return jnp.take_along_axis(
-                rows, (nbase + f)[:, None], axis=1
-            )[:, 0]
+            # static slices + arithmetic one-hot over the 9 candidate
+            # offsets: ~8x cheaper than a 128-wide take_along_axis on chip
+            cols = jnp.stack(
+                [rows[:, c * NFP + f] for c in range(CANDS)], axis=1
+            )  # (C, 9)
+            hit = jax.lax.broadcasted_iota(i32, cols.shape, 1) == cand[:, None]
+            return jnp.sum(jnp.where(hit, cols, 0), axis=1, dtype=i32)
 
         at_root = node == ROOT
         word = jnp.where(at_root, 0, nfld(F_OP))

@@ -149,14 +149,19 @@ def run_inner(
     )
 
     def postprocess(sheet, results):
-        logger.debug("Write chunk %d of BAM records to output file",
-                     sheet.chunk_id)
+        t0 = time.perf_counter()
         if native_pp is not None:
             blob = native_pp.convert_chunk(
                 sheet.records, results, sheet.chunk_id, position_seed,
                 read_group,
             )
+            t1 = time.perf_counter()
             writer.write_raw(blob)
+            logger.debug(
+                "postprocess chunk %d: convert %.0fms write %.0fms",
+                sheet.chunk_id, (t1 - t0) * 1e3,
+                (time.perf_counter() - t1) * 1e3,
+            )
             return
         if convert_pool is not None:
             bam_records = list(

@@ -49,6 +49,26 @@ def _pool_impl():
 
     return _POOL_IMPLS[os.environ.get("MAPAD_POOL_IMPL", "2")]
 
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("R", "M"))
+def _unpack_prep(blob, R, M):
+    """Split the one-transfer prep blob back into kernel inputs."""
+    import jax.numpy as jnp
+
+    def f32(x):
+        return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+    n = blob[:R]
+    split = blob[R : 2 * R]
+    scale = f32(blob[2 * R : 3 * R])
+    thresh = f32(blob[3 * R : 4 * R])
+    repr_mm = f32(blob[4 * R : 5 * R])
+    slut = f32(blob[5 * R :].reshape(R * M, 8))
+    return n, split, scale, thresh, repr_mm, slut
+
 _RANK_TABLE = np.zeros(256, dtype=np.int32)
 for _i, _c in enumerate(b"ACGT"):
     _RANK_TABLE[_c] = _i + 1
@@ -79,13 +99,7 @@ def _batch_luts(sdm, params, seqs, quals, n):
     valid = j < n_grid
     n_safe = np.maximum(n_grid, j + 1)  # keep tp_dist >= 0 on padding
 
-    raw = np.stack(
-        [
-            sdm.get_vec(j, n_safe, np.full((L, M), b, dtype=np.uint8), seqs, quals)
-            for b in _ACGT
-        ],
-        axis=2,
-    )  # (L, M, 4)
+    raw = sdm.raw_grid(j, n_safe, seqs, quals)  # (L, M, 4)
 
     is_acgt = np.isin(seqs, _ACGT)
     opt = np.where(is_acgt, raw.max(axis=2), np.float32(0.0)).astype(np.float32)
@@ -147,10 +161,17 @@ class DeviceSearchEngine:
                 max_len=config.max_len,
                 lanes=pool_lanes,
                 total_steps=pool_steps,
-                # CAP=1024 on-chip: 3828 vs 5339 steps on the 4096-read
-                # hard-workload chunk for a ~4% escalation bump the native
-                # fallback absorbs (tools/measure_r2.py sweep)
-                read_step_cap=min(1024, pool_steps),
+                # 8192-read invocations: hard workloads log ~1.1 chains
+                # per read plus abandon markers; 8192 overflowed (-> full
+                # chunk escalation), 2 per read leaves headroom
+                max_chains=16384,
+                # A read kept on device to CAP pops costs CAP/L whole-pool
+                # steps (~100 us/1024 pops at 48 us/step) vs ~2-5 ms in the
+                # host fallback, so the cap is set high and abandons are
+                # reserved for the truly pathological tail (e2e bench:
+                # 12% escalations at CAP=1024 made the 4-core host the
+                # bottleneck while the chip sat idle)
+                read_step_cap=min(4096, pool_steps),
                 compute_forward_part=config.compute_forward_part,
                 backward_only=self._is_backward_only,
             )
@@ -230,18 +251,30 @@ class DeviceSearchEngine:
             packed[:, :4] = score_lut.reshape(RM, 4)
             packed[:, 4] = pattern_code.reshape(RM).astype(np.float32)
             packed[:, 5] = bid.reshape(RM)
+            # padded/empty reads must reject everything immediately (the
+            # non-packed path applies this in _dispatch_pool)
+            thresh = cutoff_thresh.copy()
+            thresh[n == 0] = np.float32(np.inf)
+            # ONE host->device transfer (the axon transport charges ~34 ms
+            # per round trip) then an on-device unpack
+            blob = np.concatenate([
+                n.view(np.int32), split.view(np.int32),
+                cutoff_scale.view(np.int32), thresh.view(np.int32),
+                repr_mm.view(np.int32), packed.reshape(-1).view(np.int32),
+            ])
+            parts = _unpack_prep(jnp.asarray(blob), L, max_len)
             empty2 = jnp.zeros((L, 0), jnp.int32)
             return dict(
                 pattern_rank=empty2,
                 pattern_code=empty2,
-                n=jnp.asarray(n),
+                n=parts[0],
                 score_lut=jnp.zeros((L, 0, 4), jnp.float32),
                 pen=jnp.zeros((L, 0), jnp.float32),
-                split=jnp.asarray(split),
-                cutoff_scale=jnp.asarray(cutoff_scale),
-                cutoff_thresh=jnp.asarray(cutoff_thresh),
-                repr_mm=jnp.asarray(repr_mm),
-                slut_packed=jnp.asarray(packed),
+                split=parts[1],
+                cutoff_scale=parts[2],
+                cutoff_thresh=parts[3],
+                repr_mm=parts[4],
+                slut_packed=parts[5],
             )
         return dict(
             pattern_rank=jnp.asarray(pattern_rank),
@@ -327,7 +360,9 @@ class DeviceSearchEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         cfg = self.pool_config
-        R = max(cfg.lanes, 4096)
+        # 8192-read invocations amortize the ~74 ms fixed overhead: 20.8k
+        # vs 15.8k reads/s at 4096 on chip (tools/sweep_lanes.py)
+        R = max(cfg.lanes, 8192)
         out = [None] * len(records)
         params = self._params()
         self._ensure_native()
@@ -387,13 +422,15 @@ class DeviceSearchEngine:
             "pool dispatch: prep %.0fms for %d reads (host_bid=%s)",
             (time.perf_counter() - t0) * 1e3, len(chunk), host_bid,
         )
-        # padded/empty reads must reject everything and finish immediately
-        n_host = np.asarray(prep["n"])
-        thresh = np.asarray(prep["cutoff_thresh"]).copy()
-        thresh[n_host == 0] = np.float32(np.inf)
-        import jax.numpy as jnp
+        if not host_bid:
+            # padded/empty reads must reject everything and finish
+            # immediately (the packed path applies this before upload)
+            n_host = np.asarray(prep["n"])
+            thresh = np.asarray(prep["cutoff_thresh"]).copy()
+            thresh[n_host == 0] = np.float32(np.inf)
+            import jax.numpy as jnp
 
-        prep["cutoff_thresh"] = jnp.asarray(thresh)
+            prep["cutoff_thresh"] = jnp.asarray(thresh)
         kw = (
             {"slut_packed": prep["slut_packed"]} if host_bid else {}
         )
@@ -405,9 +442,51 @@ class DeviceSearchEngine:
         )
         return handle, t0
 
+    @staticmethod
+    @jax.jit
+    def _pack_result(res):
+        """Flatten every PoolResult field into ONE int32 buffer: the axon
+        transport charges a ~34 ms round trip per fetched array, so 15
+        per-field np.asarray calls cost ~0.5 s/chunk while one packed
+        transfer costs one round trip."""
+        import jax.numpy as jnp
+
+        parts = []
+        for a in jax.tree.leaves(res):
+            a = jnp.asarray(a)
+            if a.dtype in (jnp.int64, jnp.float32):
+                a = jax.lax.bitcast_convert_type(a, jnp.int32)
+            elif a.dtype == jnp.bool_:
+                a = a.astype(jnp.int32)
+            parts.append(a.reshape(-1))
+        return jnp.concatenate(parts)
+
+    def _fetch_result(self, handle):
+        """One-round-trip fetch of a PoolResult -> numpy PoolResult."""
+        flat = np.asarray(self._pack_result(handle))
+        leaves = jax.tree.leaves(handle)
+        treedef = jax.tree.structure(handle)
+        out = []
+        off = 0
+        for leaf in leaves:
+            dt = np.dtype(leaf.dtype)
+            if dt == np.bool_:
+                n_i32 = int(np.prod(leaf.shape))  # packed as int32
+            else:
+                n_i32 = int(np.prod(leaf.shape)) * dt.itemsize // 4
+            seg = flat[off : off + n_i32]
+            off += n_i32
+            if dt == np.bool_:
+                arr = seg.astype(np.bool_).reshape(leaf.shape)
+            else:
+                arr = seg.view(dt).reshape(leaf.shape)
+            out.append(arr)
+        assert off == flat.size
+        return jax.tree.unflatten(treedef, out)
+
     def _collect_pool(self, chunk, handle, out, base, t0):
         t_fetch = time.perf_counter()
-        result = jax.tree.map(np.asarray, handle)
+        result = self._fetch_result(handle)
         elapsed = time.perf_counter() - t0
         logger.debug(
             "pool collect: device+fetch %.0fms (of %.0fms since dispatch)",

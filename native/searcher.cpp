@@ -79,52 +79,91 @@ static BiInterval forward_ext_rank(const FmIndex& idx, const BiInterval& iv,
 
 constexpr float F32_MIN = -3.4028235e38f;
 
-// Bi-D array (bi_d_array.rs): 15 offset walks per half, running-max window
+// Bi-D array (bi_d_array.rs): 15 offset walks per half, running-max window.
+//
+// Walks from the same reset point are identical (a failure resets the
+// interval to init, so the continuation depends only on the restart
+// position), hence all 15 offset walks converge onto one shared failure
+// chain after their first failure.  fail_at/win_rm memoize (first failure
+// index, window penalty max) per start position; FM extends run only when
+// a start is first seen (~1 chain per part + 15 short prefixes instead of
+// 15 full walks).  Per-walk f32 z accumulation order is preserved exactly:
+// the same window maxima are added in the same sequence.
 static void compute_bi_d(const FmIndex& idx, const uint8_t* rank, int32_t n,
                          int32_t split, const float* pen,
                          std::vector<float>& composite) {
     constexpr int MAX_OFFSET = 15;
     composite.assign(n, 0.0f);
-    BiInterval init = {0, 0, idx.n};
+    std::vector<int32_t> fail_at;
+    std::vector<float> win_rm;
 
-    // part 1: pattern[:split], forward extension, walk index == abs index
+    // The walks are single-direction perfect extensions and only the
+    // interval SIZE is consumed (failure test), so the full FMD swap
+    // bookkeeping is unnecessary: a forward walk of P equals a backward
+    // walk of revcomp(P) with identical occurrence counts (the text holds
+    // both strands), i.e. one 2-occ-scan LF step per extension instead of
+    // extend_all's 8 scans + sentinel row.  Failure positions -- and so
+    // every emitted f32 value -- are bit-identical.
+    auto lf_step = [&idx](int64_t& lower, int64_t& size, int c) {
+        if (c < 1 || c > 4) {
+            size = 0;
+            return;
+        }
+        int64_t o = lower == 0 ? 0 : idx.occ(lower - 1, c);
+        int64_t s2 = idx.occ(lower + size - 1, c) - o;
+        lower = idx.less[c] + o;
+        size = s2;
+    };
+
+    // part 0: pattern[:split], forward extension, walk index == abs index
+    // part 1: pattern[split:] reversed, backward extension
     for (int part = 0; part < 2; part++) {
         int32_t plen = part == 0 ? split : n - split;
         if (plen <= 0) continue;
+        fail_at.assign(plen, -1);
+        win_rm.assign(plen, 0.0f);
+        auto chain = [&](int32_t s) {
+            if (fail_at[s] >= 0) return;
+            int64_t lower = 0, size = idx.n;
+            float rm = F32_MIN;
+            int32_t f = plen;
+            for (int32_t step = s; step < plen; step++) {
+                int c;
+                int32_t abs_idx;
+                if (part == 0) {
+                    // forward ext == backward walk with complemented rank
+                    abs_idx = step;
+                    c = rank[abs_idx];
+                    c = (c >= 1 && c <= 4) ? 5 - c : 0;
+                } else {
+                    abs_idx = n - 1 - step;
+                    c = rank[abs_idx];
+                }
+                lf_step(lower, size, c);
+                rm = std::max(rm, pen[abs_idx]);
+                if (size < 1) {
+                    f = step;
+                    break;
+                }
+            }
+            fail_at[s] = f;
+            win_rm[s] = rm;
+        };
         std::vector<float> dmin(plen, 0.0f);
-        for (int off = 0; off < MAX_OFFSET; off++) {
-            BiInterval iv = init;
-            float z = 0.0f, rm = F32_MIN;
-            // out[i] = 0 for i <= off else z after step i-1
-            for (int32_t i = 0; i < plen; i++) {
-                if (i > off) {
-                    // value after processing walk step i-1 accrued below
-                }
-                int32_t step = i;  // we process step i and record for i+1
-                if (step >= off && step < plen) {
-                    int c;
-                    int32_t abs_idx;
-                    if (part == 0) {
-                        abs_idx = step;
-                        c = rank[abs_idx];
-                        iv = forward_ext_rank(idx, iv, c);
-                    } else {
-                        abs_idx = n - 1 - step;
-                        c = rank[abs_idx];
-                        iv = backward_ext_rank(idx, iv, c);
-                    }
-                    rm = std::max(rm, pen[abs_idx]);
-                    if (iv.size < 1) {
-                        z = z + rm;  // f32 add
-                        iv = init;
-                        rm = F32_MIN;
-                    }
-                }
-                // emitted value for output index i+1 is z (post-step)
-                if (step + 1 < plen) {
-                    float v = (step + 1 <= off) ? 0.0f : z;
-                    dmin[step + 1] = std::min(dmin[step + 1], v);
-                }
+        for (int off = 0; off < MAX_OFFSET && off < plen; off++) {
+            // out[k] = z after step k-1; z constant between failures
+            float z = 0.0f;
+            int32_t s = off;
+            while (s < plen) {
+                chain(s);
+                int32_t f = fail_at[s];
+                int32_t hi = std::min(f, plen - 1);
+                for (int32_t k = s + 1; k <= hi; k++)
+                    dmin[k] = std::min(dmin[k], z);
+                if (f >= plen) break;
+                z = z + win_rm[s];  // f32 add, per-walk order preserved
+                if (f + 1 < plen) dmin[f + 1] = std::min(dmin[f + 1], z);
+                s = f + 1;
             }
         }
         for (int32_t i = 0; i < plen; i++)

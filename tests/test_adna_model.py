@@ -109,3 +109,29 @@ def test_find_alignment_start():
     assert model.find_alignment_start(80) == 80
     pwm = VindijaPwm()
     assert pwm.find_alignment_start(80) == 40
+
+
+def test_raw_grid_fast_path_bit_equal():
+    """SimpleAncientDnaModel.raw_grid (single-pass LUT grid) must be
+    bit-identical to the generic stack-of-get_vec fallback."""
+    import numpy as np
+
+    from mapad_tpu.models import SimpleAncientDnaModel
+    from mapad_tpu.models.adna import SequenceDifferenceModel
+
+    for prep in (("single_stranded", 0.6, 0.55), ("double_stranded", 0.45)):
+        dm = SimpleAncientDnaModel(prep, 0.01, 1.0,
+                                   np.float32(0.02 / 3.0), False)
+        rng = np.random.default_rng(3)
+        L, M = 37, 61
+        seqs = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=(L, M))
+        quals = rng.integers(2, 41, size=(L, M)).astype(np.uint8)
+        n = rng.integers(10, M + 1, size=L)
+        j = np.broadcast_to(np.arange(M, dtype=np.int64), (L, M))
+        ng = np.maximum(
+            np.broadcast_to(n[:, None].astype(np.int64), (L, M)), j + 1
+        )
+        fast = dm.raw_grid(j, ng, seqs, quals)
+        slow = SequenceDifferenceModel.raw_grid(dm, j, ng, seqs, quals)
+        assert fast.dtype == slow.dtype == np.float32
+        assert np.array_equal(fast, slow), prep

@@ -174,7 +174,10 @@ def main():
     )
     config = SearchConfig(max_len=128, hit_cap=24, compute_forward_part=False)
     tier_s = int(os.environ.get("BENCH_TIER_S", 2048))
-    engine_kind = os.environ.get("BENCH_ENGINE", "hybrid")
+    # device is the primary (per-chip) number; BENCH_ENGINE=hybrid adds the
+    # host cores, but on short runs its adaptive split cannot settle and
+    # the 4-core bench VM's host side is already saturated by prep/output
+    engine_kind = os.environ.get("BENCH_ENGINE", "device")
     big = bool(os.environ.get("BENCH_BIG"))  # force int64 device mode
     from mapad_tpu.map import native_post
 

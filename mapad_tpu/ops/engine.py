@@ -87,13 +87,39 @@ _F32_MIN = np.float32(-3.4028235e38)
 _ACGT = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 
-def _batch_luts(sdm, params, seqs, quals, n):
+def _batch_luts(sdm, params, seqs, quals, n, threads: int = 0):
     """Vectorized score LUT + Bi-D penalty elements for a whole lane grid.
 
     Same f32 op order as the per-read builders (models/adna.py); computed on
     (L, M) grids in one sweep so host preparation is not per-read-bound.
-    """
+    Rows are independent, so big grids split across a small thread pool
+    (numpy releases the GIL in the grid kernels)."""
     L, M = seqs.shape
+    if not threads:
+        import os
+
+        threads = max(1, (os.cpu_count() or 2) - 1)
+    if threads > 1 and L >= 2048:
+        from concurrent.futures import ThreadPoolExecutor
+
+        blocks = [
+            (i, min(i + -(-L // threads), L))
+            for i in range(0, L, -(-L // threads))
+        ]
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            parts = list(
+                pool.map(
+                    lambda b: _batch_luts(
+                        sdm, params, seqs[b[0]:b[1]], quals[b[0]:b[1]],
+                        n[b[0]:b[1]], threads=1,
+                    ),
+                    blocks,
+                )
+            )
+        return (
+            np.concatenate([p[0] for p in parts], axis=0),
+            np.concatenate([p[1] for p in parts], axis=0),
+        )
     j = np.broadcast_to(np.arange(M, dtype=np.int64), (L, M))
     n_grid = np.broadcast_to(n[:, None].astype(np.int64), (L, M))
     valid = j < n_grid
@@ -171,6 +197,8 @@ class DeviceSearchEngine:
                 # reserved for the truly pathological tail (e2e bench:
                 # 12% escalations at CAP=1024 made the 4-core host the
                 # bottleneck while the chip sat idle)
+                # CAP=8192 regressed e2e 3.3k -> 2.1k: the dense pop scans
+                # are O(L*CAP) per step and dominate past ~4096
                 read_step_cap=min(4096, pool_steps),
                 compute_forward_part=config.compute_forward_part,
                 backward_only=self._is_backward_only,
@@ -486,7 +514,11 @@ class DeviceSearchEngine:
 
     def _collect_pool(self, chunk, handle, out, base, t0):
         t_fetch = time.perf_counter()
-        result = self._fetch_result(handle)
+        if isinstance(jax.tree.leaves(handle)[0], jax.Array):
+            result = self._fetch_result(handle)
+        else:  # already host-side (e.g. the sharded collector's per-shard
+            # slices, which fetch the full mesh result in one transfer)
+            result = jax.tree.map(np.asarray, handle)
         elapsed = time.perf_counter() - t0
         logger.debug(
             "pool collect: device+fetch %.0fms (of %.0fms since dispatch)",

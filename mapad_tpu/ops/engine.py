@@ -233,6 +233,29 @@ class DeviceSearchEngine:
         cutoff_thresh = np.full(L, np.float32(-np.inf), dtype=np.float32)
         repr_mm = np.full(L, np.float32(-np.inf), dtype=np.float32)
 
+        # per-length parameter cache: the chunk has ~100 distinct read
+        # lengths but thousands of records; the model/bound lookups are
+        # pure functions of the length
+        by_len: dict[int, tuple] = getattr(self, "_len_params", None)
+        if by_len is None:
+            by_len = self._len_params = {}
+
+        def len_params(ln):
+            v = by_len.get(ln)
+            if v is None:
+                s = sdm.find_alignment_start(ln)
+                # bound encoding: reject(v) == (v / scale) < thresh
+                if isinstance(mb, Continuous):
+                    sc, th = mb._scale_read_length(ln), mb.cutoff
+                else:  # Discrete / TestBound: absolute threshold
+                    sc, th = np.float32(1.0), mb.threshold_for_length(ln)
+                rm = (
+                    np.float32(-np.inf) if isinstance(mb, TestBound)
+                    else mb.representative_mismatch_penalty
+                )
+                v = by_len[ln] = (s, sc, th, rm)
+            return v
+
         for i, record in enumerate(records):
             seq = np.frombuffer(bytes(record.sequence), dtype=np.uint8)
             ln = len(seq)
@@ -243,16 +266,9 @@ class DeviceSearchEngine:
             quals[i, :ln] = np.frombuffer(
                 bytes(record.base_qualities), dtype=np.uint8
             )
-            split[i] = sdm.find_alignment_start(ln)
-            # bound encoding: reject(v) == (v / scale) < thresh
-            if isinstance(mb, Continuous):
-                cutoff_scale[i] = mb._scale_read_length(ln)
-                cutoff_thresh[i] = mb.cutoff
-            else:  # Discrete / TestBound expose an absolute threshold
-                cutoff_scale[i] = np.float32(1.0)
-                cutoff_thresh[i] = mb.threshold_for_length(ln)
-            if not isinstance(mb, TestBound):
-                repr_mm[i] = mb.representative_mismatch_penalty
+            split[i], cutoff_scale[i], cutoff_thresh[i], repr_mm[i] = (
+                len_params(ln)
+            )
 
         pattern_rank = np.where(n[:, None] > 0, _RANK_TABLE[seqs], 0)
         pattern_rank[seqs == 0] = 0

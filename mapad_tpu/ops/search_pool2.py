@@ -95,12 +95,19 @@ def k_mismatch_search_pool2(
     C = config.max_chains
     CAP = config.read_step_cap
     RB = min(S, CAP + 1)
+    # two-level pop index: the ring is grouped into G blocks of 64 slots;
+    # per-step scans run over the (L, G) group maxima instead of (L, RB)
+    # (the dense scans were O(L*CAP) and dominated the step past CAP~4096)
+    G = -(-RB // 64)
+    RBP = G * 64  # padded ring width; slots >= RB are never written
     assert L * SLOTS < 2**31, "compaction keys exceed int32"
     i32 = jnp.int32
     INT_MIN = jnp.int32(-2147483648)
     lanes = jnp.arange(L, dtype=i32)
     cand_iota = jax.lax.broadcasted_iota(i32, (L, CANDS), 1)
-    slot_iota = jax.lax.broadcasted_iota(i32, (L, RB), 1)
+    slot_iota = jax.lax.broadcasted_iota(i32, (L, RBP), 1)
+    g_iota = jax.lax.broadcasted_iota(i32, (L, G), 1)
+    garange = jnp.arange(64, dtype=i32)[None, :]
 
     BIG = index.big
     IDT = index.idx_dtype
@@ -179,8 +186,14 @@ def k_mismatch_search_pool2(
     # integer one-hot select replaces a per-row gather (~35 us/step on v5e)
     consts_pad = jnp.pad(consts, ((0, L), (0, 0)))
 
-    consumed = jnp.zeros((L, RB), i32)
-    bm_key = jnp.full((L, RB), INT_MIN, i32)
+    consumed = jnp.zeros((L, RBP), i32)
+    bm_key = jnp.full((L, RBP), INT_MIN, i32)
+    # per-group (max eligible key, write step of its LIFO winner); kept in
+    # sync with bm_key: the written ring column and the consumed slot's
+    # group are the only per-step changes, each recomputed from one
+    # 64-slot slice
+    g_key = jnp.full((L, G), INT_MIN, i32)
+    g_t = jnp.full((L, G), -1, i32)
     lane_start = jnp.zeros((L,), i32)
     st_pack = jnp.zeros((L, S + 1, BW), i32)  # block b = slots b*9..b*9+8
 
@@ -210,38 +223,51 @@ def k_mismatch_search_pool2(
     fin_log = jnp.full(
         (L, S if config.track_read_steps else 1), -1, jnp.int32
     )
-    state = (consumed, bm_key, lane_start, st_pack, read_id, fresh,
-             lane_done, next_read, lane_age, c_n, c_split, c_scale, c_thresh,
-             c_repr, best_score, best_size, hcount, fin_log, jnp.int32(0))
+    state = (consumed, bm_key, g_key, g_t, lane_start, st_pack, read_id,
+             fresh, lane_done, next_read, lane_age, c_n, c_split, c_scale,
+             c_thresh, c_repr, best_score, best_size, hcount, fin_log,
+             jnp.int32(0))
 
     def cond(state):
-        lane_done, step = state[6], state[18]
+        lane_done, step = state[8], state[20]
         if config.debug_fixed_steps:
             return step < min(S, config.debug_fixed_steps)
         return jnp.logical_and(step < S, ~jnp.all(lane_done))
 
+    def group_reduce(keys64, base, cur, lane_start):
+        """(max eligible key, write step of the LIFO winner) of one 64-slot
+        group per lane.  keys64 (L, 64) bm_key slice; base (L,) first slot;
+        cur = reference step (most recent ring write <= cur).  The write
+        step of slot s is cur - ((cur - s) mod RB): every step writes
+        exactly one column, cycling with period RB."""
+        s = base[:, None] + garange
+        t = cur - jnp.remainder(cur - s, RB)
+        elig = (s < RB) & (t >= lane_start[:, None]) & (keys64 > INT_MIN)
+        k = jnp.where(elig, keys64, INT_MIN)
+        kmax = jnp.max(k, axis=1)
+        tmax = jnp.max(jnp.where(k == kmax[:, None], t, -1), axis=1)
+        return kmax, jnp.where(kmax > INT_MIN, tmax, -1)
+
     def body(state):
-        (consumed, bm_key, lane_start, st_pack, read_id, fresh,
+        (consumed, bm_key, g_key, g_t, lane_start, st_pack, read_id, fresh,
          lane_done, next_read, lane_age, c_n, c_split, c_scale, c_thresh,
          c_repr, best_score, best_size, hcount, fin_log, step) = state
 
         active = ~lane_done
 
-        # --- pop: dense block scan (key max, then LIFO = min ring age) ---
-        age = jnp.remainder(step - 1 - slot_iota, RB)
-        t_s = step - 1 - age
-        keym = jnp.where(
-            (t_s >= lane_start[:, None]) & (bm_key > INT_MIN),
-            bm_key, INT_MIN,
-        )
-        kstar = jnp.max(keym, axis=1)
+        # --- pop: two-level scan (group maxima, LIFO tie = max write step;
+        # the winner's write step identifies its slot: t == s (mod RB)) ---
+        kstar = jnp.max(g_key, axis=1)
         popped = kstar > INT_MIN
-        agem = jnp.where(keym == kstar[:, None], age, RB)
-        astar = jnp.min(agem, axis=1)
-        pstep = step - 1 - astar
-        sel_slot = jnp.remainder(pstep, RB)
+        tstar = jnp.max(
+            jnp.where(g_key == kstar[:, None], g_t, -1), axis=1
+        )
+        pstep = tstar
+        sel_slot = jnp.remainder(pstep, RB)  # -1 -> RB-1, guarded by do_pop
         sel_col = slot_iota == sel_slot[:, None]
-        cword = jnp.sum(jnp.where(sel_col, consumed, 0), axis=1, dtype=i32)
+        cword = jnp.take_along_axis(
+            consumed, sel_slot[:, None], axis=1
+        )[:, 0]
 
         finish_empty = active & ~fresh & ~popped
         working = active & (fresh | popped)
@@ -270,6 +296,16 @@ def k_mismatch_search_pool2(
         updm = sel_col & do_pop[:, None]
         consumed = jnp.where(updm, cword2[:, None], consumed)
         bm_key = jnp.where(updm, newkey[:, None], bm_key)
+        # re-derive the consumed slot's group entry from its 64-slot slice
+        gsel = sel_slot // 64
+        base_g = gsel * 64
+        keys64c = jnp.take_along_axis(
+            bm_key, base_g[:, None] + garange, axis=1
+        )
+        kmax_c, tmax_c = group_reduce(keys64c, base_g, step - 1, lane_start)
+        gm = (g_iota == gsel[:, None]) & do_pop[:, None]
+        g_key = jnp.where(gm, kmax_c[:, None], g_key)
+        g_t = jnp.where(gm, tmax_c[:, None], g_t)
 
         frame = jnp.sum(
             jnp.where((cand_iota == off[:, None])[:, :, None], rows9, 0),
@@ -539,6 +575,22 @@ def k_mismatch_search_pool2(
         consumed = jax.lax.dynamic_update_slice(
             consumed, jnp.zeros((L, 1), i32), (jnp.int32(0), ring_slot)
         )
+        # re-derive the written column's group (scalar index: dynamic
+        # slices, no gather); reads bm_key after both updates so a group
+        # holding the consumed slot too stays consistent
+        gw = ring_slot // 64
+        keys64w = jax.lax.dynamic_slice(
+            bm_key, (jnp.int32(0), gw * 64), (L, 64)
+        )
+        kmax_w, tmax_w = group_reduce(
+            keys64w, jnp.full((L,), gw * 64, i32), step, lane_start
+        )
+        g_key = jax.lax.dynamic_update_slice(
+            g_key, kmax_w[:, None], (jnp.int32(0), gw)
+        )
+        g_t = jax.lax.dynamic_update_slice(
+            g_t, tmax_w[:, None], (jnp.int32(0), gw)
+        )
 
         hcount = hcount + jnp.sum(comp9, axis=1, dtype=i32)
         finish_hits = still & ((hcount > 9) | (best_size > 1))
@@ -566,8 +618,12 @@ def k_mismatch_search_pool2(
         got_read = finish & (new_rid < R)
         fresh = got_read
         lane_done = lane_done | (finish & (new_rid >= R))
-        # the watermark makes every old block of this lane ineligible
+        # the watermark makes every old block of this lane ineligible; the
+        # group index forgets the lane wholesale (groups rebuild as their
+        # columns are rewritten, with the watermark applied at recompute)
         lane_start = jnp.where(finish, step + 1, lane_start)
+        g_key = jnp.where(finish[:, None], INT_MIN, g_key)
+        g_t = jnp.where(finish[:, None], -1, g_t)
 
         lane_age = jnp.where(finish, 0, lane_age + active.astype(i32))
         best_score = jnp.where(finish, NEG_INF, best_score)
@@ -595,15 +651,15 @@ def k_mismatch_search_pool2(
             c_repr,
         )
 
-        return (consumed, bm_key, lane_start, st_pack, read_id, fresh,
-                lane_done, next_read, lane_age, c_n, c_split, c_scale,
-                c_thresh, c_repr, best_score, best_size, hcount, fin_log,
-                step + 1)
+        return (consumed, bm_key, g_key, g_t, lane_start, st_pack, read_id,
+                fresh, lane_done, next_read, lane_age, c_n, c_split,
+                c_scale, c_thresh, c_repr, best_score, best_size, hcount,
+                fin_log, step + 1)
 
     state = jax.lax.while_loop(cond, body, state)
-    (consumed, bm_key, lane_start, st_pack, read_id, fresh, lane_done,
-     next_read, lane_age, c_n, c_split, c_scale, c_thresh, c_repr,
-     best_score, best_size, hcount, fin_log, steps) = state
+    (consumed, bm_key, g_key, g_t, lane_start, st_pack, read_id, fresh,
+     lane_done, next_read, lane_age, c_n, c_split, c_scale, c_thresh,
+     c_repr, best_score, best_size, hcount, fin_log, steps) = state
 
     lane_unfinished = ~lane_done & (read_id < R)
 

@@ -150,6 +150,15 @@ def run_inner(
 
     def postprocess(sheet, results):
         t0 = time.perf_counter()
+        if lazy:
+            # escalated reads' exact fallback searches are still running
+            # on the engine's thread pool; resolving here (the postprocess
+            # thread) overlaps them with the next sheet's search
+            from concurrent.futures import Future
+
+            results = [
+                r.result() if isinstance(r, Future) else r for r in results
+            ]
         if native_pp is not None:
             blob = native_pp.convert_chunk(
                 sheet.records, results, sheet.chunk_id, position_seed,
@@ -185,12 +194,21 @@ def run_inner(
         for bam_record in bam_records:
             writer.write_record(bam_record)
 
+    import inspect
+
+    lazy = "lazy_fallback" in inspect.signature(
+        engine.search_chunk
+    ).parameters
+
     try:
         with ThreadPoolExecutor(max_workers=1) as pool:
             pending = None
             for sheet in task_queue:
                 logger.debug("Map chunk %d of records", sheet.chunk_id)
-                results = engine.search_chunk(sheet.records)
+                results = (
+                    engine.search_chunk(sheet.records, lazy_fallback=True)
+                    if lazy else engine.search_chunk(sheet.records)
+                )
                 if pending is not None:
                     pending.result()
                 pending = pool.submit(postprocess, sheet, results)

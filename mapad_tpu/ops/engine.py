@@ -392,17 +392,29 @@ class DeviceSearchEngine:
 
     # --- public API ---
 
-    def search_chunk(self, records):
+    def search_chunk(self, records, lazy_fallback: bool = False):
+        """lazy_fallback: escalated entries come back as
+        concurrent.futures.Future objects still running on the engine's
+        fallback pool, so the (expensive, deep-read) exact host searches
+        overlap the caller's next chunk instead of gating this one; the
+        pipeline resolves them in its postprocess thread."""
         if self.mode == "pool":
-            return self._search_chunk_pool(records)
+            return self._search_chunk_pool(records, lazy_fallback)
         return self._search_chunk_batch(records)
 
-    # --- persistent-pool path ---
-
-    def _search_chunk_pool(self, records):
+    def _fallback_pool(self):
         import os
         from concurrent.futures import ThreadPoolExecutor
 
+        if getattr(self, "_fb_pool", None) is None:
+            self._fb_pool = ThreadPoolExecutor(
+                max_workers=max(1, (os.cpu_count() or 2) - 1)
+            )
+        return self._fb_pool
+
+    # --- persistent-pool path ---
+
+    def _search_chunk_pool(self, records, lazy_fallback: bool = False):
         cfg = self.pool_config
         # 8192-read invocations amortize the ~74 ms fixed overhead: 20.8k
         # vs 15.8k reads/s at 4096 on chip (tools/sweep_lanes.py)
@@ -410,37 +422,37 @@ class DeviceSearchEngine:
         out = [None] * len(records)
         params = self._params()
         self._ensure_native()
-        workers = max(1, (os.cpu_count() or 2) - 1)
+        pool = self._fallback_pool()
         fallback_futures = []
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            # keep at most 2 pool invocations in flight (each holds a
-            # multi-GB frame store on device)
-            from collections import deque
+        # keep at most 2 pool invocations in flight (each holds a
+        # multi-GB frame store on device)
+        from collections import deque
 
-            in_flight = deque()
+        in_flight = deque()
 
-            def collect_one():
-                base, chunk, (handle, t0) = in_flight.popleft()
-                escalated = self._collect_pool(chunk, handle, out, base, t0)
-                for i in escalated:
-                    fallback_futures.append(
-                        pool.submit(self._fallback_one, records, base + i)
-                    )
+        def collect_one():
+            base, chunk, (handle, t0) = in_flight.popleft()
+            escalated = self._collect_pool(chunk, handle, out, base, t0)
+            for i in escalated:
+                fut = pool.submit(self._fallback_value, records, base + i)
+                fallback_futures.append((base + i, fut))
 
-            for base in range(0, len(records), R):
-                chunk = records[base : base + R]
-                in_flight.append(
-                    (base, chunk, self._dispatch_pool(chunk, params, R, cfg))
-                )
-                if len(in_flight) >= 2:
-                    collect_one()
-            while in_flight:
+        for base in range(0, len(records), R):
+            chunk = records[base : base + R]
+            in_flight.append(
+                (base, chunk, self._dispatch_pool(chunk, params, R, cfg))
+            )
+            if len(in_flight) >= 2:
                 collect_one()
-            for fut in fallback_futures:
-                i, result = fut.result()
-                out[i] = result
+        while in_flight:
+            collect_one()
+        for i, fut in fallback_futures:
+            out[i] = fut if lazy_fallback else fut.result()
         self._stats["oracle"] += len(fallback_futures)
         return out
+
+    def _fallback_value(self, records, i):
+        return self._fallback_one(records, i)[1]
 
     def _dispatch_pool(self, chunk, params, R, cfg):
         t0 = time.perf_counter()
@@ -897,18 +909,18 @@ class HybridSearchEngine:
         self._p = device_fraction
         self._stats = self.device._stats
 
-    def search_chunk(self, records):
+    def search_chunk(self, records, lazy_fallback: bool = False):
         import concurrent.futures
 
         n = len(records)
         if self.native is None or n < 256:
-            return self.device.search_chunk(records)
+            return self.device.search_chunk(records, lazy_fallback)
         k = max(1, min(n - 1, int(n * self._p)))
         dev_part, nat_part = records[:k], records[k:]
         with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
             t0 = time.perf_counter()
             fut = ex.submit(self._timed, self.native.search_chunk, nat_part)
-            dres = self.device.search_chunk(dev_part)
+            dres = self.device.search_chunk(dev_part, lazy_fallback)
             dev_dt = time.perf_counter() - t0
             nres, nat_dt = fut.result()
         rd = k / max(dev_dt, 1e-6)

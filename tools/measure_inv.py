@@ -101,31 +101,6 @@ timeit(
 )
 
 
-# --- component: slut packing alone (mirror of kernel's prologue) ---
-@jax.jit
-def slut_pack(score_lut, pattern_code, bid):
-    R, Mx = pattern_code.shape
-    RM16 = (R * Mx + 15) // 16
-    slut6 = jnp.concatenate(
-        [
-            score_lut.reshape(R * Mx, 4),
-            pattern_code.reshape(R * Mx, 1).astype(jnp.float32),
-            bid.reshape(R * Mx, 1),
-        ],
-        axis=1,
-    )
-    return jnp.pad(slut6, ((0, RM16 * 16 - R * Mx), (0, 2))).reshape(
-        RM16, 16 * 8
-    )
-
-
-bid_val = bid_jit(engine.device_index, prep["pattern_rank"], prep["pen"],
-                  prep["n"], prep["split"])
-timeit(
-    lambda: slut_pack(prep["score_lut"], prep["pattern_code"], bid_val),
-    lambda o: o[0, 0], "slut packing",
-)
-
 # --- while-loop scaling: fixed_steps in {1, 128, 1024} ---
 kern = _pool_impl()
 base = PoolConfig(max_len=M, lanes=L, total_steps=S, max_chains=8192,

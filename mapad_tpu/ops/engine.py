@@ -14,6 +14,7 @@ its non-escalated lanes.
 
 from __future__ import annotations
 
+import functools
 import logging
 import time
 
@@ -49,8 +50,6 @@ def _pool_impl():
 
     return _POOL_IMPLS[os.environ.get("MAPAD_POOL_IMPL", "2")]
 
-
-import functools
 
 
 @functools.partial(jax.jit, static_argnames=("R", "M"))

@@ -39,24 +39,36 @@ struct FmIndex {
     inline int64_t sentinel_occ(int64_t pos) const {
         return (pos >= sent0) + (pos >= sent1);
     }
+    // occurrences of ALL ranks in bwt[0..=r] in one scan: the 4-symbol
+    // extension sweep needs every rank at the same two positions, so one
+    // histogram pass replaces 8 per-symbol scans + the sentinel test
+    // (bwt rank 0 IS the sentinel, so out[0] == sentinel_occ(r))
+    inline void occ_all(int64_t r, int64_t out[6]) const {
+        int64_t b = r / occ_k;
+        for (int c = 0; c < 6; c++) out[c] = occ_cp[b * 6 + c];
+        for (int64_t i = b * occ_k; i <= r; i++) out[bwt[i]]++;
+    }
 };
 
 struct BiInterval {
     int64_t lower, lower_rev, size;
 };
 
-// One backward-extension sweep over ranks 4,3,2,1 (fmd_index.rs:108-182)
+// One backward-extension sweep over ranks 4,3,2,1 (fmd_index.rs:108-182);
+// two occ_all histogram scans serve all four symbols + the sentinel row
 static void extend_all(const FmIndex& idx, const BiInterval& iv,
                        BiInterval out[4]) {
     int64_t lower = iv.lower, size = iv.size;
-    int64_t o = lower == 0 ? 0 : idx.sentinel_occ(lower - 1);
-    int64_t s = idx.sentinel_occ(lower + size - 1) - o;
+    int64_t lo_cnt[6] = {0, 0, 0, 0, 0, 0}, hi_cnt[6];
+    if (lower != 0) idx.occ_all(lower - 1, lo_cnt);
+    idx.occ_all(lower + size - 1, hi_cnt);
+    int64_t s = hi_cnt[0] - lo_cnt[0];  // sentinel occurrences
     int64_t l = iv.lower_rev;
     int slot = 0;
     for (int c = 4; c >= 1; c--, slot++) {
         l += s;
-        o = lower == 0 ? 0 : idx.occ(lower - 1, c);
-        s = idx.occ(lower + size - 1, c) - o;
+        int64_t o = lo_cnt[c];
+        s = hi_cnt[c] - o;
         out[slot] = {idx.less[c] + o, l, s};
     }
 }

@@ -503,13 +503,25 @@ class DeviceSearchEngine:
         """Flatten every PoolResult field into ONE int32 buffer: the axon
         transport charges a ~34 ms round trip per fetched array, so 15
         per-field np.asarray calls cost ~0.5 s/chunk while one packed
-        transfer costs one round trip."""
+        transfer costs one round trip.  c_ops (the bulk of the payload)
+        travels 3 op words per 2 int32: every consumer reads bits 0..20
+        only (kind/pos/base + the VALID termination bit), so the words
+        are masked to 21 bits and packed 3-into-64."""
         import jax.numpy as jnp
 
         parts = []
-        for a in jax.tree.leaves(res):
+        for name, a in zip(res._fields, res):
+            if a is None:
+                continue
             a = jnp.asarray(a)
-            if a.dtype in (jnp.int64, jnp.float32):
+            if name == "c_ops":
+                Cn, MW = a.shape
+                MW3 = -(-MW // 3) * 3
+                g = jnp.pad(a & 0x1FFFFF, ((0, 0), (0, MW3 - MW)))
+                g = g.reshape(Cn, MW3 // 3, 3).astype(jnp.int64)
+                w = g[..., 0] | (g[..., 1] << 21) | (g[..., 2] << 42)
+                a = jax.lax.bitcast_convert_type(w, jnp.int32)
+            elif a.dtype in (jnp.int64, jnp.float32):
                 a = jax.lax.bitcast_convert_type(a, jnp.int32)
             elif a.dtype == jnp.bool_:
                 a = a.astype(jnp.int32)
@@ -519,25 +531,39 @@ class DeviceSearchEngine:
     def _fetch_result(self, handle):
         """One-round-trip fetch of a PoolResult -> numpy PoolResult."""
         flat = np.asarray(self._pack_result(handle))
-        leaves = jax.tree.leaves(handle)
-        treedef = jax.tree.structure(handle)
         out = []
         off = 0
-        for leaf in leaves:
+        for name, leaf in zip(handle._fields, handle):
+            if leaf is None:
+                out.append(None)
+                continue
             dt = np.dtype(leaf.dtype)
-            if dt == np.bool_:
+            if name == "c_ops":
+                Cn, MW = leaf.shape
+                MW3 = -(-MW // 3) * 3
+                n_i32 = Cn * (MW3 // 3) * 2
+                w = flat[off : off + n_i32].view(np.int64).reshape(
+                    Cn, MW3 // 3
+                )
+                arr = np.empty((Cn, MW3), dtype=np.int64)
+                arr[:, 0::3] = w & 0x1FFFFF
+                arr[:, 1::3] = (w >> 21) & 0x1FFFFF
+                arr[:, 2::3] = (w >> 42) & 0x1FFFFF
+                arr = arr[:, :MW].astype(dt)
+            elif dt == np.bool_:
                 n_i32 = int(np.prod(leaf.shape))  # packed as int32
             else:
                 n_i32 = int(np.prod(leaf.shape)) * dt.itemsize // 4
-            seg = flat[off : off + n_i32]
+            if name != "c_ops":
+                seg = flat[off : off + n_i32]
+                if dt == np.bool_:
+                    arr = seg.astype(np.bool_).reshape(leaf.shape)
+                else:
+                    arr = seg.view(dt).reshape(leaf.shape)
             off += n_i32
-            if dt == np.bool_:
-                arr = seg.astype(np.bool_).reshape(leaf.shape)
-            else:
-                arr = seg.view(dt).reshape(leaf.shape)
             out.append(arr)
         assert off == flat.size
-        return jax.tree.unflatten(treedef, out)
+        return type(handle)(*out)
 
     def _collect_pool(self, chunk, handle, out, base, t0):
         t_fetch = time.perf_counter()

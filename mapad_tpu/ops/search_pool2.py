@@ -13,10 +13,14 @@ Key changes vs gen 1:
   re-derived from the frame store itself: each pushed candidate's op word
   carries OP_PUSHED_BIT, and the popped block's 9 records are fetched with
   one (L, 9, NF) gather; the monotone i32 pop keys are recomputed from the
-  stored f32 score bits.  Pop bookkeeping is two small dense arrays --
-  `consumed` (L, RB) 9-bit masks and `bm_key` (L, RB) per-block max keys --
-  updated with masked elementwise passes (vectorizes on the VPU) and
-  scalar-index column writes (cheap DUS), never scattered.
+  stored f32 score bits.  Pop bookkeeping is `consumed` (L, RB) 9-bit
+  masks and `bm_key` (L, RB) per-block max keys plus a two-level group
+  index (`g_key`/`g_t`, (L, RB/64)): per-step scans touch only the group
+  maxima, the LIFO winner's stored write step identifies its slot
+  directly (t == s mod RB), and only the consumed slot's group and the
+  written ring column's group are re-derived each step.  Updates are
+  masked elementwise passes and scalar-index column writes (cheap DUS),
+  never scattered.
 - **No packed (key, step) i64 and no superblock level.**  The LIFO
   tie-break uses ring geometry: the step that wrote ring slot s is
   T-1 - ((T-1-s) mod RB), so "latest step among equal keys" is "minimum

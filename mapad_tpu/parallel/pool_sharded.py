@@ -59,6 +59,11 @@ def pool_search_sharded(
         "pattern_rank", "pattern_code", "n", "score_lut", "pen", "split",
         "cutoff_scale", "cutoff_thresh", "repr_mm",
     )
+    # host-bid prep: the prepacked LUT/Bi-D table shards along its row
+    # axis too (R*M rows, R divisible by the mesh)
+    packed = "slut_packed" in prep
+    if packed:
+        keys = keys + ("slut_packed",)
     arrays = [prep[k] for k in keys]
 
     from ..ops.engine import _pool_impl
@@ -66,7 +71,11 @@ def pool_search_sharded(
     pool_fn = _pool_impl()
 
     def shard_fn(index, *arrays):
-        res = pool_fn(index, *arrays, params, config)
+        if packed:
+            *pos, slut = arrays
+            res = pool_fn(index, *pos, params, config, slut_packed=slut)
+        else:
+            res = pool_fn(index, *arrays, params, config)
         base = jax.lax.axis_index(axis).astype(jnp.int32) * R_local
         # local -> global read ids; the "no read" sentinel (local R) maps to
         # a value >= global R so host-side `rid < len(chunk)` checks hold

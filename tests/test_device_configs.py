@@ -136,3 +136,35 @@ def test_gap_parameter_variants(ref_fmd):
             stack_limit_abort=False, max_num_gaps_open=max_gaps,
         )
         _check(fmd, params, _reads(ref, 20, 4 + gap_dist_ends))
+
+
+def test_pool_ring_wraparound_equals_oracle(ref_fmd):
+    """Force the pop ring to wrap (steps >> RB) and groups to straddle the
+    wrap: tiny read_step_cap with few lanes runs thousands of steps over a
+    49-slot ring.  Also exercises abandon-escalation under wrap."""
+    from tests.test_device_search import _adna_params
+
+    ref, fmd = ref_fmd
+    params = _adna_params()
+    reads = _reads(ref, 48, 77)
+
+    for cap in (48, 80, 200):  # RB 49 (G=1), 81 (G=2), 201 (G=4)
+        cfg = PoolConfig(max_len=128, lanes=8, total_steps=16384,
+                         max_chains=2048, compute_forward_part=False,
+                         read_step_cap=cap)
+        engine = DeviceSearchEngine(fmd, params, mode="pool",
+                                    pool_config=cfg)
+        records = [
+            Record(sequence=bytes(s), base_qualities=bytes([40] * len(s)))
+            for s in reads
+        ]
+        results = engine.search_chunk(records)
+        for (hits, _dur), read in zip(results, reads):
+            want = oracle_search(read, [40] * len(read), params, fmd)
+            assert len(hits) == len(want), (cap, read[:12])
+            for g, w in zip(hits, want):
+                assert g.interval == w.interval, (cap, read[:12])
+                assert np.float32(g.alignment_score) == np.float32(
+                    w.alignment_score
+                ), (cap, read[:12])
+                assert g.edit_operations == w.edit_operations, (cap, read[:12])

@@ -188,9 +188,10 @@ def main():
         difference_model=dm, mismatch_bound=Discrete(0.03, 0.02, repr_mm),
         penalty_gap_open=repr_mm * np.float32(1.5),
         penalty_gap_extend=repr_mm * np.float32(0.5),
-        # one sheet per device invocation: sheet k+1's search overlaps
-        # sheet k's postprocess/BAM-write thread
-        chunk_size=min(N_READS, 8192), gap_dist_ends=5,
+        # 16384-read sheets split into two 8192-read device invocations
+        # inside the engine, which keeps 2 in flight (prep overlaps device
+        # work); 8192-read sheets would disable that internal pipeline
+        chunk_size=min(N_READS, 16384), gap_dist_ends=5,
         stack_limit_abort=False, max_num_gaps_open=2,
     )
     config = SearchConfig(max_len=128, hit_cap=24, compute_forward_part=False)

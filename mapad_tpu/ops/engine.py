@@ -290,21 +290,24 @@ class DeviceSearchEngine:
                 threads=max(1, (os.cpu_count() or 2) - 1),
             )
             RM = L * max_len
-            packed = np.zeros((RM, 8), dtype=np.float32)
-            packed[:, :4] = score_lut.reshape(RM, 4)
-            packed[:, 4] = pattern_code.reshape(RM).astype(np.float32)
-            packed[:, 5] = bid.reshape(RM)
             # padded/empty reads must reject everything immediately (the
             # non-packed path applies this in _dispatch_pool)
             thresh = cutoff_thresh.copy()
             thresh[n == 0] = np.float32(np.inf)
             # ONE host->device transfer (the axon transport charges ~34 ms
-            # per round trip) then an on-device unpack
-            blob = np.concatenate([
-                n.view(np.int32), split.view(np.int32),
-                cutoff_scale.view(np.int32), thresh.view(np.int32),
-                repr_mm.view(np.int32), packed.reshape(-1).view(np.int32),
-            ])
+            # per round trip) then an on-device unpack; the packed LUT rows
+            # are written straight into the blob (no 33 MB concat copy)
+            blob = np.empty(5 * L + RM * 8, dtype=np.int32)
+            blob[:L] = n.view(np.int32)
+            blob[L : 2 * L] = split.view(np.int32)
+            blob[2 * L : 3 * L] = cutoff_scale.view(np.int32)
+            blob[3 * L : 4 * L] = thresh.view(np.int32)
+            blob[4 * L : 5 * L] = repr_mm.view(np.int32)
+            packed = blob[5 * L :].view(np.float32).reshape(RM, 8)
+            packed[:, :4] = score_lut.reshape(RM, 4)
+            packed[:, 4] = pattern_code.reshape(RM).astype(np.float32)
+            packed[:, 5] = bid.reshape(RM)
+            packed[:, 6:] = 0.0
             parts = _unpack_prep(jnp.asarray(blob), L, max_len)
             empty2 = jnp.zeros((L, 0), jnp.int32)
             return dict(

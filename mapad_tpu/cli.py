@@ -14,7 +14,6 @@ import sys
 
 import numpy as np
 
-from . import CRATE_NAME, __version__
 from .errors import MapadError
 from .map import AlignmentParameters
 

@@ -5,7 +5,7 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass, field
 
-from .bgzf import BgzfReader, BgzfStream, BgzfWriter
+from .bgzf import BgzfStream, BgzfWriter
 
 CIGAR_OPS = "MIDNSHP=X"
 CIGAR_OP_TO_CODE = {c: i for i, c in enumerate(CIGAR_OPS)}

@@ -12,7 +12,7 @@ import gzip
 import io
 import logging
 import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ..errors import InvalidInputType
 from ..map.record import Record

@@ -34,7 +34,6 @@ from .search import (
     OP_MISMATCH,
     SearchConfig,
     SearchParams,
-    SearchResult,
     k_mismatch_search_batch,
 )
 

@@ -82,7 +82,7 @@ def run_multihost(
     from ..index import load_index
     from ..io.bam import BamWriter
     from ..io.sniff import InputSource
-    from ..map.pipeline import OracleSearchEngine, run_inner
+    from ..map.pipeline import run_inner
     from ..map.postprocess import create_bam_header
 
     index = load_index(reference_path)

@@ -182,9 +182,13 @@ def build_alignment_parameters(args) -> AlignmentParameters:
     )
 
 
+TRACE = 5  # reference maps `-vv` to Trace (main.rs:307-309)
+logging.addLevelName(TRACE, "TRACE")
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    level = [logging.INFO, logging.DEBUG][min(args.v, 1)]
+    level = [logging.INFO, logging.DEBUG, TRACE][min(args.v, 2)]
     logging.basicConfig(
         level=level, format="%(asctime)s %(levelname)s [%(name)s] %(message)s"
     )

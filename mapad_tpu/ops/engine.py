@@ -27,7 +27,7 @@ from ..map.oracle import k_mismatch_search as oracle_search
 from ..models.bounds import Continuous, TestBound
 from ..utils.seq import BASE_TO_CODE, CODE_TO_BASE
 from .fm import DeviceFmIndex
-from .search_pool import PoolConfig, k_mismatch_search_pool
+from .search_pool import PoolConfig
 from .search_pool2 import k_mismatch_search_pool2
 from .search import (
     OP_DELETION,
@@ -38,18 +38,6 @@ from .search import (
 )
 
 logger = logging.getLogger(__name__)
-
-# Pool kernel generation: "2" (default) is the scatter-free step
-# (ops/search_pool2.py); "1" keeps the gen-1 kernel for comparison.
-_POOL_IMPLS = {"1": k_mismatch_search_pool, "2": k_mismatch_search_pool2}
-
-
-def _pool_impl():
-    import os
-
-    return _POOL_IMPLS[os.environ.get("MAPAD_POOL_IMPL", "2")]
-
-
 
 @functools.partial(jax.jit, static_argnames=("R", "M"))
 def _unpack_prep(blob, R, M):
@@ -465,11 +453,14 @@ class DeviceSearchEngine:
         mlen = max((len(r.sequence) for r in chunk), default=1)
         m_fit = min(cfg.max_len, max(16, -(-mlen // 16) * 16))
         cfg = cfg._replace(max_len=m_fit)
-        if os.environ.get("MAPAD_XD_STEPS"):
-            # true per-read XD timing: the kernel logs per-read step counts
-            # (reference measures per-read wall time, mapping.rs:912-918;
-            # the device-native analogue is steps x step-time)
-            cfg = cfg._replace(track_read_steps=True)
+        # true per-read XD timing by default: the kernel logs per-read step
+        # counts, reduced on device to an (R,) array so the fetch overhead
+        # is negligible (reference measures per-read wall time,
+        # mapping.rs:912-918; the device-native analogue is steps x
+        # step-time).  MAPAD_XD_STEPS=0 restores the batch-average tag.
+        cfg = cfg._replace(
+            track_read_steps=os.environ.get("MAPAD_XD_STEPS", "1") != "0"
+        )
         host_bid = self._host_bid_active()
         prep = self._prepare(
             [r if len(r.sequence) <= cfg.max_len else _EMPTY for r in chunk],
@@ -491,7 +482,7 @@ class DeviceSearchEngine:
         kw = (
             {"slut_packed": prep["slut_packed"]} if host_bid else {}
         )
-        handle = _pool_impl()(
+        handle = k_mismatch_search_pool2(
             self.device_index, prep["pattern_rank"], prep["pattern_code"],
             prep["n"], prep["score_lut"], prep["pen"], prep["split"],
             prep["cutoff_scale"], prep["cutoff_thresh"], prep["repr_mm"],
@@ -582,13 +573,11 @@ class DeviceSearchEngine:
         t_dec = time.perf_counter()
         per_read = elapsed / max(len(chunk), 1)
         read_time = None
-        if result.fin_log is not None and result.fin_log.shape[1] > 1:
-            log = np.asarray(result.fin_log).ravel()
-            log = log[log >= 0]
-            step_time = elapsed / max(int(result.steps), 1)
-            read_time = {
-                int(ev) // 4096: (int(ev) % 4096) * step_time for ev in log
-            }
+        if result.read_steps is not None and result.read_steps.size:
+            rs = np.asarray(result.read_steps)
+            if (rs >= 0).any():
+                step_time = elapsed / max(int(result.steps), 1)
+                read_time = np.where(rs >= 0, rs * step_time, per_read)
         splits = [
             self.parameters.difference_model.find_alignment_start(
                 len(r.sequence)
@@ -658,7 +647,8 @@ class DeviceSearchEngine:
                     ]
                 out[base + i] = (
                     hits,
-                    read_time.get(i, per_read) if read_time else per_read,
+                    float(read_time[i]) if read_time is not None
+                    else per_read,
                 )
 
         logger.debug(
@@ -826,17 +816,14 @@ class DeviceSearchEngine:
         return self._native_bid_cache
 
     def _host_bid_active(self) -> bool:
-        """Host-C++ Bi-D + prepacked LUT table (gen-2 kernel only)."""
+        """Host-C++ Bi-D + prepacked LUT table."""
         import os
 
         from ..map import native_search
 
         if os.environ.get("MAPAD_HOST_BID", "1") == "0":
             return False
-        return (
-            os.environ.get("MAPAD_POOL_IMPL", "2") == "2"
-            and native_search.available()
-        )
+        return native_search.available()
 
     def _fallback_one(self, records, i):
         searcher = self._ensure_native()

@@ -667,6 +667,20 @@ def k_mismatch_search_pool2(
 
     lane_unfinished = ~lane_done & (read_id < R)
 
+    if config.track_read_steps:
+        # reduce the (L, S) finish log to per-read step counts on device:
+        # each read refills (and so logs) at most once, and the fetch then
+        # ships R ints instead of the L*S log (reference emits per-read
+        # wall time as the XD tag, mapping.rs:912-918; the device-native
+        # analogue is steps x measured step time)
+        ev = fin_log.reshape(-1)
+        rid = jnp.where(ev >= 0, ev // 4096, R)
+        read_steps = (
+            jnp.full((R + 1,), -1, i32).at[rid].max(ev % 4096)[:R]
+        )
+    else:
+        read_steps = jnp.full((R,), -1, i32)
+
     # --- compact completion/abandon entries, two-stage (a flat sort over
     # L*SLOTS keys cost ~278 ms/invocation on chip; the gen-1 scatter ~700):
     # stage 1 reduces each 9-candidate block to a bitmask, stage 2 top_k's
@@ -762,5 +776,5 @@ def k_mismatch_search_pool2(
         c_lower=c_lower, c_lrev=c_lrev, c_size=c_size, c_score=c_score,
         c_ops=c_ops, n_chains=n_chains,
         lane_read=read_id, lane_unfinished=lane_unfinished,
-        next_read=next_read, steps=steps, fin_log=fin_log,
+        next_read=next_read, steps=steps, read_steps=read_steps,
     )

@@ -66,9 +66,7 @@ def pool_search_sharded(
         keys = keys + ("slut_packed",)
     arrays = [prep[k] for k in keys]
 
-    from ..ops.engine import _pool_impl
-
-    pool_fn = _pool_impl()
+    from ..ops.search_pool2 import k_mismatch_search_pool2 as pool_fn
 
     def shard_fn(index, *arrays):
         if packed:

@@ -197,6 +197,31 @@ def test_pool_engine_packed_hits_equals_oracle(bench_fixture):
     assert n_nonempty > 0
 
 
+def test_pool_per_read_xd_timing_default(bench_fixture):
+    # Device-mode XD must be per-read by default (reference emits per-read
+    # wall time unconditionally, mapping.rs:912-918): the kernel's per-read
+    # step counts convert to distinct durations, not one batch average.
+    from mapad_tpu.ops.search_pool import PoolConfig
+
+    ref, fmd, _ = bench_fixture
+    params = _adna_params()
+    rng = np.random.default_rng(9)
+    reads = []
+    for _ in range(24):
+        ln = int(rng.integers(20, 101))
+        start = int(rng.integers(0, len(ref) - ln))
+        reads.append(bytes(ref[start : start + ln]))
+    cfg = PoolConfig(max_len=128, lanes=8, total_steps=16384, max_chains=512,
+                     compute_forward_part=False)
+    engine = DeviceSearchEngine(fmd, params, mode="pool", pool_config=cfg)
+    results = engine.search_chunk(_records(reads))
+    durations = [dur for _hits, dur in results]
+    assert all(d > 0 for d in durations)
+    # different-length reads take different step counts; a batch average
+    # would make every duration identical
+    assert len(set(durations)) > 1
+
+
 def test_pool_abandon_escalates_to_exact_fallback(bench_fixture):
     # A tiny per-read step cap forces abandon markers; those reads must be
     # re-run exactly (native/oracle), not silently truncated.

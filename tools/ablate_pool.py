@@ -28,7 +28,8 @@ from mapad_tpu.map import AlignmentParameters
 from mapad_tpu.models import Discrete, SimpleAncientDnaModel
 from mapad_tpu.ops.engine import DeviceSearchEngine
 from mapad_tpu.ops.search import SearchConfig
-from mapad_tpu.ops.search_pool import PoolConfig, k_mismatch_search_pool
+from mapad_tpu.ops.search_pool import PoolConfig
+from mapad_tpu.ops.search_pool2 import k_mismatch_search_pool2 as k_mismatch_search_pool
 
 L = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 FIXED = int(sys.argv[2]) if len(sys.argv) > 2 else 1024

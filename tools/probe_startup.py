@@ -38,7 +38,8 @@ from mapad_tpu.index.builder import build_auxiliary_structures
 from mapad_tpu.map import AlignmentParameters
 from mapad_tpu.models import Discrete, SimpleAncientDnaModel
 from mapad_tpu.ops.engine import DeviceSearchEngine
-from mapad_tpu.ops.search_pool import PoolConfig, k_mismatch_search_pool
+from mapad_tpu.ops.search_pool import PoolConfig
+from mapad_tpu.ops.search_pool2 import k_mismatch_search_pool2 as k_mismatch_search_pool
 
 rng = np.random.default_rng(0)
 ref = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=200_000).tobytes()

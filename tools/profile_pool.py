@@ -31,7 +31,7 @@ def main():
     from mapad_tpu.models import Discrete, SimpleAncientDnaModel
     from mapad_tpu.ops.engine import DeviceSearchEngine
     from mapad_tpu.ops.search import SearchConfig
-    from mapad_tpu.ops.search_pool import k_mismatch_search_pool
+    from mapad_tpu.ops.search_pool2 import k_mismatch_search_pool2 as k_mismatch_search_pool
 
     dm = SimpleAncientDnaModel(
         ("single_stranded", 0.6, 0.55), 0.01, 1.0,

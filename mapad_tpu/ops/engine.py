@@ -39,6 +39,12 @@ from .search import (
 
 logger = logging.getLogger(__name__)
 
+
+def _pool_impl():
+    """The production pool kernel (gen-2).  Kept as a function so the
+    measurement tools under tools/ have one stable import point."""
+    return k_mismatch_search_pool2
+
 @functools.partial(jax.jit, static_argnames=("R", "M"))
 def _unpack_prep(blob, R, M):
     """Split the one-transfer prep blob back into kernel inputs."""

@@ -28,16 +28,6 @@ Key changes vs gen 1:
 Reference semantics: src/map/mapping.rs:1012-1383 (k_mismatch_search),
 src/map/fmd_index.rs:108-182 (extension sweep); equivalence to the host
 oracle is property-tested in tests/test_device_search.py.
-
-NOTE on the pop structure: a two-level group index over the ring (scan
-(L, G=RB/64) group maxima instead of the dense (L, RB) arrays) was built in
-round 2 to decouple pop cost from the step cap, but chip measurement in
-round 3 showed it 6.5x SLOWER end to end (402 vs 62 us/step at CAP=1024,
-tools/probe_ab.py: the per-step (L, 64) dynamic-offset gather used to
-re-derive a group plus the extra carries cost far more than the dense
-masked passes they replaced).  The dense single-level pop below is the
-production design; pop cost is O(L*RB) HBM traffic per step, which stays
-off the critical path through CAP=4096.
 """
 
 from __future__ import annotations
@@ -47,9 +37,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .bi_d import compute_bi_d
-from .fm import DeviceFmIndex, extend_batch
-from .search import (
+from mapad_tpu.ops.bi_d import compute_bi_d
+from mapad_tpu.ops.fm import DeviceFmIndex, extend_batch
+from mapad_tpu.ops.search import (
     CANDS,
     F_GAPS,
     F_LOWER,
@@ -72,7 +62,7 @@ from .search import (
     OP_VALID_BIT,
     pack_op,
 )
-from .search_pool import OP_ABANDON_BIT, PoolConfig, PoolResult
+from mapad_tpu.ops.search_pool import OP_ABANDON_BIT, PoolConfig, PoolResult
 
 OP_PUSHED_BIT = 1 << 23  # op word of a live (poppable) pushed frame
 
@@ -617,20 +607,6 @@ def k_mismatch_search_pool2(
 
     lane_unfinished = ~lane_done & (read_id < R)
 
-    if config.track_read_steps:
-        # reduce the (L, S) finish log to per-read step counts on device:
-        # each read refills (and so logs) at most once, and the fetch then
-        # ships R ints instead of the L*S log (reference emits per-read
-        # wall time as the XD tag, mapping.rs:912-918; the device-native
-        # analogue is steps x measured step time)
-        ev = fin_log.reshape(-1)
-        rid = jnp.where(ev >= 0, ev // 4096, R)
-        read_steps = (
-            jnp.full((R + 1,), -1, i32).at[rid].max(ev % 4096)[:R]
-        )
-    else:
-        read_steps = jnp.full((R,), -1, i32)
-
     # --- compact completion/abandon entries, two-stage (a flat sort over
     # L*SLOTS keys cost ~278 ms/invocation on chip; the gen-1 scatter ~700):
     # stage 1 reduces each 9-candidate block to a bitmask, stage 2 top_k's
@@ -726,5 +702,5 @@ def k_mismatch_search_pool2(
         c_lower=c_lower, c_lrev=c_lrev, c_size=c_size, c_score=c_score,
         c_ops=c_ops, n_chains=n_chains,
         lane_read=read_id, lane_unfinished=lane_unfinished,
-        next_read=next_read, steps=steps, read_steps=read_steps,
+        next_read=next_read, steps=steps, read_steps=None,
     )

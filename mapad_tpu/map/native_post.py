@@ -260,12 +260,14 @@ class NativePostprocessor:
 
     def convert_chunk(
         self, records, results, chunk_id: int, position_seed: int = 0,
-        read_group=None,
+        read_group=None, index_offset: int = 0,
     ) -> bytes:
         """records + [(hits, duration)] -> concatenated encoded BAM records.
 
         `hits` entries may be PackedHits or decoded HitInterval lists
-        (packed on the fly).
+        (packed on the fly).  `index_offset` is the records' starting index
+        within their task sheet (block-streaming callers convert a sheet in
+        slices; the per-read PrRange seed depends on the in-sheet index).
         """
         from ..io.bam import _encode_tags
         from .postprocess import TAG_FILTER
@@ -306,7 +308,7 @@ class NativePostprocessor:
             seq_off[i + 1] = seq_off[i] + len(sq)
             flags[i] = record.bam_flags & 0xFFFF
             rng_seeds[i] = np.uint64(
-                ((position_seed << 40) ^ (chunk_id << 20) ^ i)
+                ((position_seed << 40) ^ (chunk_id << 20) ^ (index_offset + i))
                 & 0xFFFFFFFFFFFFFFFF
             )
             durations[i] = np.float32(duration if duration is not None else 0.0)

@@ -106,7 +106,17 @@ def run_inner(
     threads > 1 the per-record conversions inside a chunk additionally run
     on a thread pool (order-preserving; the reference parallelizes this
     loop with rayon, mapping.rs:193-215); SA lookups through the native
-    accelerator release the GIL."""
+    accelerator release the GIL.
+
+    Engines exposing `search_stream` (the device pool engine) instead run
+    the fully streaming driver: sheets are sliced into device-sized blocks
+    and prep / device search / result fetch / fallback / BAM conversion /
+    ordered write all overlap across neighbouring blocks."""
+    if hasattr(engine, "search_stream"):
+        return _run_inner_streaming(
+            task_queue, index, alignment_parameters, read_group, engine,
+            writer, position_seed, threads,
+        )
     from concurrent.futures import ThreadPoolExecutor
 
     from . import native_post
@@ -217,3 +227,121 @@ def run_inner(
     finally:
         if convert_pool is not None:
             convert_pool.shutdown()
+
+
+def _run_inner_streaming(
+    task_queue, index, alignment_parameters, read_group, engine, writer,
+    position_seed: int = 0, threads: int = 1,
+):
+    """Fully overlapped block pipeline over a streaming-capable engine.
+
+    Stages (all concurrent, rayon-loop analogue of mapping.rs:146-296):
+      prep thread (inside engine.search_stream) -> device search (<=2 pool
+      invocations in flight) -> collect/decode (this thread) -> fallback
+      pool (escalated reads) -> conversion pool (coordinates/MAPQ/CIGAR/MD/
+      BAM encode, GIL-released C++) -> ordered writer thread.
+
+    Output record order is identical to the sequential path: blocks are
+    written in submission order and the per-read PrRange seed uses the
+    in-sheet index (index_offset), so the BAM is byte-identical.
+    """
+    import queue as queue_mod
+    import threading
+    from concurrent.futures import Future, ThreadPoolExecutor
+
+    from . import native_post
+
+    read_group_id = read_group[0] if read_group else None
+
+    native_pp = None
+    if native_post.available() and not os.environ.get("MAPAD_NO_NATIVE_POST"):
+        try:
+            native_pp = native_post.NativePostprocessor(
+                index, alignment_parameters, threads=max(threads, 1)
+            )
+        except Exception:  # pragma: no cover - fall back to Python path
+            logger.warning("native postprocessor init failed", exc_info=True)
+
+    R = engine.block_reads
+
+    def blocks():
+        for sheet in task_queue:
+            logger.debug("Map chunk %d of records", sheet.chunk_id)
+            recs = sheet.records
+            for off in range(0, max(len(recs), 1), R):
+                yield (sheet, off), recs[off : off + R]
+
+    def convert_py(sheet, off, block, results):
+        out = []
+        for i, (record, (hits, duration)) in enumerate(zip(block, results)):
+            if isinstance(hits, native_post.PackedHits):
+                hits = hits.decode()
+            rng = SplitMixRng(
+                (position_seed << 40) ^ (sheet.chunk_id << 20) ^ (off + i)
+            )
+            out.append(
+                intervals_to_bam(
+                    record, hits, index.suffix_array, index.id_pos_map,
+                    index.original_symbols, duration, alignment_parameters,
+                    (read_group_id if read_group else None), rng,
+                )
+            )
+        return out
+
+    def pp_task(sheet, off, block, results):
+        t0 = time.perf_counter()
+        # escalated reads' exact fallback searches may still be running on
+        # the engine's pool; resolving here overlaps them with later blocks
+        results = [
+            r.result() if isinstance(r, Future) else r for r in results
+        ]
+        if native_pp is not None:
+            out = native_pp.convert_chunk(
+                block, results, sheet.chunk_id, position_seed, read_group,
+                index_offset=off,
+            )
+        else:
+            out = convert_py(sheet, off, block, results)
+        logger.debug(
+            "postprocess block (chunk %d @%d): %.0fms",
+            sheet.chunk_id, off, (time.perf_counter() - t0) * 1e3,
+        )
+        return out
+
+    # Ordered writer: conversion futures are enqueued in block-submission
+    # order and written in that order, whatever order they complete in.
+    write_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=8)
+    write_err: list = []
+
+    def writer_loop():
+        while True:
+            fut = write_q.get()
+            if fut is None:
+                return
+            if write_err:
+                continue  # drain without writing after a failure
+            try:
+                out = fut.result()
+                if isinstance(out, (bytes, bytearray)):
+                    writer.write_raw(out)
+                else:
+                    for rec in out:
+                        writer.write_record(rec)
+            except BaseException as e:  # surfaced on the main thread
+                write_err.append(e)
+
+    wt = threading.Thread(target=writer_loop, name="bam-writer", daemon=True)
+    wt.start()
+    pp_pool = ThreadPoolExecutor(max_workers=2, thread_name_prefix="postproc")
+    try:
+        for (sheet, off), results in engine.search_stream(
+            blocks(), lazy_fallback=True
+        ):
+            block = sheet.records[off : off + R]
+            write_q.put(pp_pool.submit(pp_task, sheet, off, block, results))
+        write_q.put(None)
+        wt.join()
+        if write_err:
+            raise write_err[0]
+    finally:
+        pp_pool.shutdown(wait=False)

@@ -409,47 +409,109 @@ class DeviceSearchEngine:
 
     # --- persistent-pool path ---
 
+    @property
+    def block_reads(self) -> int:
+        """Device invocation size: 8192-read invocations amortize the
+        ~74 ms fixed overhead (20.8k vs 15.8k reads/s at 4096 on chip,
+        tools/sweep_lanes.py).  Assignable (tests, tuning)."""
+        override = getattr(self, "_block_reads", None)
+        if override:
+            return max(self.pool_config.lanes, override)
+        return max(self.pool_config.lanes, 8192)
+
+    @block_reads.setter
+    def block_reads(self, value: int):
+        self._block_reads = value
+
     def _search_chunk_pool(self, records, lazy_fallback: bool = False):
-        cfg = self.pool_config
-        # 8192-read invocations amortize the ~74 ms fixed overhead: 20.8k
-        # vs 15.8k reads/s at 4096 on chip (tools/sweep_lanes.py)
-        R = max(cfg.lanes, 8192)
+        R = self.block_reads
         out = [None] * len(records)
+        blocks = (
+            (base, records[base : base + R])
+            for base in range(0, len(records), R)
+        )
+        for base, block_out in self.search_stream(
+            blocks, lazy_fallback=lazy_fallback
+        ):
+            out[base : base + len(block_out)] = block_out
+        return out
+
+    def search_stream(self, blocks, lazy_fallback: bool = False,
+                      max_in_flight: int = 2):
+        """Pipelined block search: yields (key, results) per input block in
+        submission order.
+
+        `blocks` is an iterable of (key, records) with len(records) <=
+        block_reads.  A dedicated prep thread builds the next block's LUT
+        grids / Bi-D / upload blob while up to `max_in_flight` pool
+        invocations run on the device (each holds a multi-GB frame store,
+        hence the cap); the result pack + host transfer of invocation k is
+        enqueued at launch time so it lands on the device queue BEFORE
+        kernel k+1 and the D2H copy overlaps k+1's compute.  Escalated
+        entries come back as concurrent.futures.Future objects when
+        lazy_fallback (resolved on the engine's fallback pool).
+
+        This is the TPU-side analogue of the reference's always-busy rayon
+        loop (mapping.rs:146-296): every host core works on prep/collect/
+        fallback for neighbouring blocks while the chip runs the current
+        one.
+        """
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        cfg = self.pool_config
+        R = self.block_reads
         params = self._params()
         self._ensure_native()
-        pool = self._fallback_pool()
-        fallback_futures = []
-        # keep at most 2 pool invocations in flight (each holds a
-        # multi-GB frame store on device)
-        from collections import deque
-
-        in_flight = deque()
-
-        def collect_one():
-            base, chunk, (handle, t0) = in_flight.popleft()
-            escalated = self._collect_pool(chunk, handle, out, base, t0)
-            for i in escalated:
-                fut = pool.submit(self._fallback_value, records, base + i)
-                fallback_futures.append((base + i, fut))
-
-        for base in range(0, len(records), R):
-            chunk = records[base : base + R]
-            in_flight.append(
-                (base, chunk, self._dispatch_pool(chunk, params, R, cfg))
+        fb_pool = self._fallback_pool()
+        if getattr(self, "_prep_exec", None) is None:
+            self._prep_exec = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="pool-prep"
             )
-            if len(in_flight) >= 2:
-                collect_one()
-        while in_flight:
-            collect_one()
-        for i, fut in fallback_futures:
-            out[i] = fut if lazy_fallback else fut.result()
-        self._stats["oracle"] += len(fallback_futures)
-        return out
+        it = iter(blocks)
+        prep_q: deque = deque()  # (key, records, Future[prepped])
+        run_q: deque = deque()   # (key, records, launched, t0)
+        exhausted = False
+
+        def refill_prep():
+            nonlocal exhausted
+            # 1 prep running + 1 queued behind it keeps the prep thread busy
+            while not exhausted and len(prep_q) < 2:
+                nxt = next(it, None)
+                if nxt is None:
+                    exhausted = True
+                    break
+                key, recs = nxt
+                prep_q.append(
+                    (key, recs,
+                     self._prep_exec.submit(self._prep_block, recs, R, cfg))
+                )
+
+        while True:
+            refill_prep()
+            while prep_q and len(run_q) < max_in_flight:
+                key, recs, fut = prep_q.popleft()
+                launched = self._launch_block(fut.result(), params)
+                run_q.append((key, recs, launched))
+                refill_prep()
+            if not run_q:
+                break
+            key, recs, launched = run_q.popleft()
+            out = [None] * len(recs)
+            escalated = self._collect_pool(recs, launched, out, 0,
+                                           launched[-1])
+            self._stats["oracle"] += len(escalated)
+            for i in escalated:
+                fut = fb_pool.submit(self._fallback_value, recs, i)
+                out[i] = fut if lazy_fallback else fut.result()
+            yield key, out
 
     def _fallback_value(self, records, i):
         return self._fallback_one(records, i)[1]
 
-    def _dispatch_pool(self, chunk, params, R, cfg):
+    def _prep_block(self, chunk, R, cfg):
+        """Host-side preparation of one pool invocation (runs on the prep
+        thread): LUT grids, Bi-D, bound thresholds, device upload."""
         t0 = time.perf_counter()
         # size the pattern axis to the chunk's real max read length (round
         # up to 16 to bound recompiles); cuts LUT prep + per-step gather
@@ -473,7 +535,7 @@ class DeviceSearchEngine:
             cfg.max_len, R, host_bid=host_bid,
         )
         logger.debug(
-            "pool dispatch: prep %.0fms for %d reads (host_bid=%s)",
+            "pool prep: %.0fms for %d reads (host_bid=%s)",
             (time.perf_counter() - t0) * 1e3, len(chunk), host_bid,
         )
         if not host_bid:
@@ -485,6 +547,13 @@ class DeviceSearchEngine:
             import jax.numpy as jnp
 
             prep["cutoff_thresh"] = jnp.asarray(thresh)
+        return cfg, prep, host_bid, t0
+
+    def _launch_block(self, prepped, params):
+        """Dispatch one prepared pool invocation plus its result pack and
+        async D2H copy, so the transfer overlaps the NEXT invocation's
+        compute instead of queueing behind it."""
+        cfg, prep, host_bid, t0 = prepped
         kw = (
             {"slut_packed": prep["slut_packed"]} if host_bid else {}
         )
@@ -494,7 +563,17 @@ class DeviceSearchEngine:
             prep["cutoff_scale"], prep["cutoff_thresh"], prep["repr_mm"],
             params, cfg, **kw,
         )
-        return handle, t0
+        packed = self._pack_result(handle)
+        try:
+            packed.copy_to_host_async()
+        except Exception:  # pragma: no cover - CPU backend has no async copy
+            pass
+        return handle, packed, t0
+
+    def _dispatch_pool(self, chunk, params, R, cfg):
+        """Back-compat single-call prep+launch (tools/ scripts)."""
+        launched = self._launch_block(self._prep_block(chunk, R, cfg), params)
+        return launched, launched[2]
 
     @staticmethod
     @jax.jit
@@ -529,7 +608,11 @@ class DeviceSearchEngine:
 
     def _fetch_result(self, handle):
         """One-round-trip fetch of a PoolResult -> numpy PoolResult."""
-        flat = np.asarray(self._pack_result(handle))
+        return self._unpack_result(handle, np.asarray(self._pack_result(handle)))
+
+    @staticmethod
+    def _unpack_result(handle, flat):
+        """Rebuild a numpy PoolResult from the packed transfer buffer."""
         out = []
         off = 0
         for name, leaf in zip(handle._fields, handle):
@@ -566,7 +649,12 @@ class DeviceSearchEngine:
 
     def _collect_pool(self, chunk, handle, out, base, t0):
         t_fetch = time.perf_counter()
-        if isinstance(jax.tree.leaves(handle)[0], jax.Array):
+        if isinstance(handle, tuple) and not hasattr(handle, "_fields"):
+            # launched triple from _launch_block: the pack was dispatched at
+            # launch time and its D2H copy already runs in the background
+            h, packed, _ = handle
+            result = self._unpack_result(h, np.asarray(packed))
+        elif isinstance(jax.tree.leaves(handle)[0], jax.Array):
             result = self._fetch_result(handle)
         else:  # already host-side (e.g. the sharded collector's per-shard
             # slices, which fetch the full mesh result in one transfer)

@@ -296,6 +296,67 @@ def test_integration_local_threaded_postprocess(tmp_path, monkeypatch):
     _check_results(out)
 
 
+def _small_pool_engine(genome, params, packed=True):
+    from mapad_tpu.index.runtime import load_index
+    from mapad_tpu.ops.search_pool import PoolConfig
+    from mapad_tpu.ops.engine import DeviceSearchEngine
+
+    index = load_index(str(genome))
+    cfg = PoolConfig(max_len=64, lanes=8, total_steps=8192, max_chains=256,
+                     compute_forward_part=False)
+    return index, DeviceSearchEngine(
+        index.fmd, params, mode="pool", pool_config=cfg, packed_hits=packed,
+    )
+
+
+def test_integration_device_streaming(tmp_path):
+    # Full pipeline through the streaming block driver (device pool engine
+    # + prep thread + ordered writer); goldens must hold exactly.
+    genome, input_bam, params = prepare(tmp_path)
+    _, engine = _small_pool_engine(genome, params)
+    engine.block_reads = 8  # force multi-block streaming
+    out = tmp_path / "output_reads_stream.bam"
+    mapping_run(str(input_bam), str(genome), str(out), False, params, None,
+                engine=engine, cmdline="mapad map")
+    _check_results(out)
+
+
+def test_streaming_block_slicing_matches_oracle(tmp_path):
+    # Sheets larger than the device block (chunk_size=9, block_reads=4)
+    # slice mid-sheet; the per-read PrRange seed uses the in-sheet index so
+    # output must equal the sequential oracle path record for record
+    # (modulo the XD wall-time tag).
+    from mapad_tpu.map.pipeline import OracleSearchEngine
+
+    genome, input_bam, params = prepare(tmp_path)
+    params.chunk_size = 9  # dataclass; sheets of 9 records
+    index, engine = _small_pool_engine(genome, params)
+    engine.block_reads = 4
+    out_stream = tmp_path / "out_stream.bam"
+    mapping_run(str(input_bam), str(genome), str(out_stream), False, params,
+                None, engine=engine, cmdline="mapad map")
+    out_oracle = tmp_path / "out_oracle.bam"
+    mapping_run(str(input_bam), str(genome), str(out_oracle), False, params,
+                None, engine=OracleSearchEngine(index.fmd, params),
+                cmdline="mapad map")
+
+    def snapshot(path):
+        with open(path, "rb") as f:
+            reader = BamReader(f)
+            return [
+                (r.name, r.flags, r.ref_id, r.pos, r.mapq, r.cigar_string(),
+                 r.sequence, r.quals,
+                 sorted((t, tc, v) for t, tc, v in r.tags if bytes(t) != b"XD"))
+                for r in reader
+            ]
+
+    got = snapshot(out_stream)
+    want = snapshot(out_oracle)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g == w, (g[0], g, w)
+
+
 def test_integration_distributed(tmp_path):
     # reference integration_1_distributed (:220-257): dispatcher + 2 workers
     # as threads over localhost TCP, real sockets

@@ -54,7 +54,9 @@ def main():
     sp = engine._params()
 
     def run_once():
-        h, _ = engine._dispatch_pool(reads[:n_reads], sp, n_reads, cfg)
+        (h, _packed, _t0), _ = engine._dispatch_pool(
+            reads[:n_reads], sp, n_reads, cfg
+        )
         return jax.block_until_ready(h)
 
     r = run_once()  # compile + warm

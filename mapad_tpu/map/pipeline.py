@@ -295,6 +295,7 @@ def _run_inner_streaming(
         results = [
             r.result() if isinstance(r, Future) else r for r in results
         ]
+        t_wait = time.perf_counter() - t0
         if native_pp is not None:
             out = native_pp.convert_chunk(
                 block, results, sheet.chunk_id, position_seed, read_group,
@@ -303,8 +304,9 @@ def _run_inner_streaming(
         else:
             out = convert_py(sheet, off, block, results)
         logger.debug(
-            "postprocess block (chunk %d @%d): %.0fms",
+            "postprocess block (chunk %d @%d): %.0fms (fallback wait %.0fms)",
             sheet.chunk_id, off, (time.perf_counter() - t0) * 1e3,
+            t_wait * 1e3,
         )
         return out
 

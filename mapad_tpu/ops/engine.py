@@ -166,6 +166,8 @@ class DeviceSearchEngine:
             config = SearchConfig(compute_forward_part=not self._is_backward_only)
         self.config = config
         if pool_config is None:
+            import os as _os
+
             # L=512 is empirically optimal on the v5e bench; wider pools
             # slow down superlinearly (HBM-bound step ops), narrower ones
             # underutilize (see ROADMAP "lane scaling")
@@ -175,6 +177,9 @@ class DeviceSearchEngine:
             # up to two invocations in flight alongside the occ rows.  8192
             # steps is ~1.4x the measured budget for a 4096-read chunk.
             pool_steps = max(2048, (512 * 8192) // pool_lanes)
+            if _os.environ.get("MAPAD_POOL_STEPS"):
+                pool_steps = int(_os.environ["MAPAD_POOL_STEPS"])
+            cap_env = int(_os.environ.get("MAPAD_POOL_CAP", 0))
             pool_config = PoolConfig(
                 max_len=config.max_len,
                 lanes=pool_lanes,
@@ -191,7 +196,7 @@ class DeviceSearchEngine:
                 # bottleneck while the chip sat idle)
                 # CAP=8192 regressed e2e 3.3k -> 2.1k: the dense pop scans
                 # are O(L*CAP) per step and dominate past ~4096
-                read_step_cap=min(4096, pool_steps),
+                read_step_cap=min(cap_env or 4096, pool_steps),
                 compute_forward_part=config.compute_forward_part,
                 backward_only=self._is_backward_only,
             )
@@ -262,6 +267,7 @@ class DeviceSearchEngine:
                 len_params(ln)
             )
 
+        t_lut = time.perf_counter()
         pattern_rank = np.where(n[:, None] > 0, _RANK_TABLE[seqs], 0)
         pattern_rank[seqs == 0] = 0
         pattern_code = BASE_TO_CODE[seqs].astype(np.int32)
@@ -274,14 +280,28 @@ class DeviceSearchEngine:
                 sdm, self.parameters, seqs[:n_real], quals[:n_real],
                 n[:n_real],
             )
+        t_lut = time.perf_counter() - t_lut
 
+        # host-side views kept for escalated-read fallback: the native
+        # searcher takes the SAME per-read LUT/penalty rows, so the
+        # fallback path must not rebuild them (it used to re-run the
+        # whole per-read LUT pipeline per escalated read)
+        stash = dict(
+            pattern_rank=pattern_rank, pattern_code=pattern_code, n=n,
+            score_lut=score_lut, pen=pen, split=split,
+            scale=cutoff_scale, thresh=cutoff_thresh, repr_mm=repr_mm,
+            max_len=max_len,
+        )
         if host_bid:
             import os
 
+            t_bid = time.perf_counter()
             bid = self._native_bid().compute(
                 pattern_rank.astype(np.uint8), pen, n, split,
                 threads=max(1, (os.cpu_count() or 2) - 1),
             )
+            t_bid = time.perf_counter() - t_bid
+            t_blob = time.perf_counter()
             RM = L * max_len
             # padded/empty reads must reject everything immediately (the
             # non-packed path applies this in _dispatch_pool)
@@ -301,7 +321,14 @@ class DeviceSearchEngine:
             packed[:, 4] = pattern_code.reshape(RM).astype(np.float32)
             packed[:, 5] = bid.reshape(RM)
             packed[:, 6:] = 0.0
+            t_blob = time.perf_counter() - t_blob
+            t_up = time.perf_counter()
             parts = _unpack_prep(jnp.asarray(blob), L, max_len)
+            logger.debug(
+                "prep split: lut %.0fms bid %.0fms blob %.0fms upload %.0fms",
+                t_lut * 1e3, t_bid * 1e3, t_blob * 1e3,
+                (time.perf_counter() - t_up) * 1e3,
+            )
             empty2 = jnp.zeros((L, 0), jnp.int32)
             return dict(
                 pattern_rank=empty2,
@@ -314,8 +341,10 @@ class DeviceSearchEngine:
                 cutoff_thresh=parts[3],
                 repr_mm=parts[4],
                 slut_packed=parts[5],
+                _stash=stash,
             )
         return dict(
+            _stash=stash,
             pattern_rank=jnp.asarray(pattern_rank),
             pattern_code=jnp.asarray(pattern_code),
             n=jnp.asarray(n),
@@ -499,15 +528,16 @@ class DeviceSearchEngine:
             key, recs, launched = run_q.popleft()
             out = [None] * len(recs)
             escalated = self._collect_pool(recs, launched, out, 0,
-                                           launched[-1])
+                                           launched[2])
             self._stats["oracle"] += len(escalated)
+            stash = launched[3]
             for i in escalated:
-                fut = fb_pool.submit(self._fallback_value, recs, i)
+                fut = fb_pool.submit(self._fallback_value, recs, i, stash)
                 out[i] = fut if lazy_fallback else fut.result()
             yield key, out
 
-    def _fallback_value(self, records, i):
-        return self._fallback_one(records, i)[1]
+    def _fallback_value(self, records, i, stash=None):
+        return self._fallback_one(records, i, stash)[1]
 
     def _prep_block(self, chunk, R, cfg):
         """Host-side preparation of one pool invocation (runs on the prep
@@ -554,6 +584,7 @@ class DeviceSearchEngine:
         async D2H copy, so the transfer overlaps the NEXT invocation's
         compute instead of queueing behind it."""
         cfg, prep, host_bid, t0 = prepped
+        stash = prep.pop("_stash", None)
         kw = (
             {"slut_packed": prep["slut_packed"]} if host_bid else {}
         )
@@ -568,7 +599,7 @@ class DeviceSearchEngine:
             packed.copy_to_host_async()
         except Exception:  # pragma: no cover - CPU backend has no async copy
             pass
-        return handle, packed, t0
+        return handle, packed, t0, stash
 
     def _dispatch_pool(self, chunk, params, R, cfg):
         """Back-compat single-call prep+launch (tools/ scripts)."""
@@ -650,9 +681,9 @@ class DeviceSearchEngine:
     def _collect_pool(self, chunk, handle, out, base, t0):
         t_fetch = time.perf_counter()
         if isinstance(handle, tuple) and not hasattr(handle, "_fields"):
-            # launched triple from _launch_block: the pack was dispatched at
+            # launched tuple from _launch_block: the pack was dispatched at
             # launch time and its D2H copy already runs in the background
-            h, packed, _ = handle
+            h, packed = handle[0], handle[1]
             result = self._unpack_result(h, np.asarray(packed))
         elif isinstance(jax.tree.leaves(handle)[0], jax.Array):
             result = self._fetch_result(handle)
@@ -919,12 +950,30 @@ class DeviceSearchEngine:
             return False
         return native_search.available()
 
-    def _fallback_one(self, records, i):
+    def _fallback_one(self, records, i, stash=None):
         searcher = self._ensure_native()
         t1 = time.perf_counter()
         record = records[i]
-        if searcher is not None and len(record.sequence) > 0:
-            hits = self._native_search(searcher, record)
+        ln = len(record.sequence)
+        if searcher is not None and ln > 0:
+            if (
+                stash is not None
+                and ln <= stash["max_len"]
+                and i < len(stash["n"])
+                and int(stash["n"][i]) == ln
+            ):
+                # reuse the block's prepped LUT/penalty rows (identical
+                # f32 values; rebuilding them per escalated read cost more
+                # than the native search itself for shallow escalations)
+                hits = searcher.search(
+                    stash["pattern_rank"][i], stash["pattern_code"][i], ln,
+                    stash["score_lut"][i], stash["pen"][i],
+                    int(stash["split"][i]), stash["scale"][i],
+                    stash["thresh"][i], stash["repr_mm"][i],
+                    self.parameters, packed=self.packed_hits,
+                )
+            else:
+                hits = self._native_search(searcher, record)
         else:
             hits = oracle_search(
                 record.sequence, record.base_qualities,

@@ -56,7 +56,11 @@ sp = engine._params()
 kern = _pool_impl()
 mark(f"prep done (M={M}, R={N_READS}, L={L})")
 
-for cap in (1024, 2048, 4096, 8192):
+CAPS = tuple(
+    int(x) for x in os.environ.get("CAPS", "1024,2048,4096,8192").split(",")
+)
+
+for cap in CAPS:
     cfg = PoolConfig(max_len=M, lanes=L, total_steps=S, max_chains=16384,
                      compute_forward_part=False,
                      read_step_cap=min(cap, S))

@@ -54,7 +54,7 @@ def main():
     sp = engine._params()
 
     def run_once():
-        (h, _packed, _t0), _ = engine._dispatch_pool(
+        (h, _packed, _t0, _stash), _ = engine._dispatch_pool(
             reads[:n_reads], sp, n_reads, cfg
         )
         return jax.block_until_ready(h)

@@ -1,4 +1,4 @@
-"""CRAM 3.0 reader (+ minimal writer used for fixtures/round-trip tests).
+"""CRAM 3.0/3.1 reader (+ minimal writer used for fixtures/round-trip tests).
 
 Closes the reference's CRAM input path (src/map/input_chunk_reader.rs:27,81-89
 reads CRAM via noodles and converts records like BAM input).  Implemented
@@ -13,13 +13,16 @@ from the public CRAM 3.0 specification (samtools/hts-specs CRAMv3.pdf):
   * encodings: EXTERNAL, HUFFMAN (canonical), BYTE_ARRAY_LEN,
     BYTE_ARRAY_STOP, BETA, GAMMA
   * rANS 4x8 order-0 and order-1 entropy codec (spec section 13)
+  * rANS Nx16 (CRAM 3.1, method 5) via io/rans_nx16.py: order-0/1,
+    4/32-way interleave, PACK/RLE/STRIPE/CAT transforms
 
 Mapped records are reconstructed from read features against the slice's
 embedded reference when present; reference-requiring slices without an
 embedded reference raise InvalidInputType with a conversion hint (the
 reference implementation also reads CRAM without an external reference and
-fails on such inputs).  CRAM 3.1 codecs (rANS-Nx16, fqzcomp, name
-tokenizer) are rejected with a clear error.
+fails on such inputs).  CRAM 3.1 files compressed with rANS-Nx16 decode
+natively; the remaining 3.1 codecs (adaptive arithmetic, fqzcomp, name
+tokenizer) are rejected with an actionable error naming the codec.
 """
 
 from __future__ import annotations
@@ -37,6 +40,7 @@ CRAM_MAGIC = b"CRAM"
 
 # block compression methods
 M_RAW, M_GZIP, M_BZIP2, M_LZMA, M_RANS4X8 = 0, 1, 2, 3, 4
+M_RANSNX16, M_ARITH, M_FQZCOMP, M_TOK3 = 5, 6, 7, 8  # CRAM 3.1
 # block content types
 CT_FILE_HEADER, CT_COMP_HEADER, CT_SLICE_HEADER, CT_EXTERNAL, CT_CORE = (
     0, 1, 2, 4, 5,
@@ -364,10 +368,23 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
         if len(out) != raw_size:
             raise InvalidInputType("CRAM: rans size mismatch")
         return out
+    if method == M_RANSNX16:
+        from .rans_nx16 import decode as _nx16_decode
+
+        return _nx16_decode(data, raw_size)
+    if method in (M_ARITH, M_FQZCOMP, M_TOK3):
+        name = {
+            M_ARITH: "adaptive arithmetic",
+            M_FQZCOMP: "fqzcomp",
+            M_TOK3: "name-tokenizer",
+        }[method]
+        raise InvalidInputType(
+            f"CRAM 3.1 {name} codec (method {method}) is not supported; "
+            "recompress with e.g. `samtools view -O cram,version=3.0` or "
+            "`... -O cram,use_tok=0,use_fqz=0,use_arith=0`"
+        )
     raise InvalidInputType(
-        f"CRAM: unsupported block compression method {method} "
-        "(CRAM 3.1 codecs are not supported; recompress with e.g. "
-        "`samtools view -O cram,version=3.0`)"
+        f"CRAM: unsupported block compression method {method}"
     )
 
 
@@ -895,7 +912,7 @@ class SliceReader:
 
 
 class CramReader:
-    """Iterates CramRecords from a CRAM 2.1/3.0 stream."""
+    """Iterates CramRecords from a CRAM 2.1/3.0/3.1 stream."""
 
     def __init__(self, fileobj):
         magic = fileobj.read(4)
@@ -1029,6 +1046,10 @@ def _compress_block(method: int, data: bytes) -> bytes:
         return lzma.compress(data)
     if method == M_RANS4X8:
         return rans_encode_0(data)
+    if method == M_RANSNX16:
+        from .rans_nx16 import encode as _nx16_encode
+
+        return _nx16_encode(data)
     raise NotImplementedError(method)
 
 
@@ -1076,13 +1097,15 @@ class CramWriter:
     """
 
     def __init__(self, fileobj, header_text: str, use_bit_codecs=False,
-                 block_method=M_GZIP, detached=True):
+                 block_method=M_GZIP, detached=True, version=(3, 0)):
         self._f = fileobj
         self.use_bit_codecs = use_bit_codecs
         self.block_method = block_method
         self.detached = detached
         self.counter = 0
-        self._f.write(CRAM_MAGIC + bytes([3, 0]) + b"mapad_tpu_cram_fixt\x00")
+        self._f.write(
+            CRAM_MAGIC + bytes(version) + b"mapad_tpu_cram_fixt\x00"
+        )
         text = header_text.encode()
         data = struct.pack("<i", len(text)) + text
         block = _raw_block(CT_FILE_HEADER, 0, data)

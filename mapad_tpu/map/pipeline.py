@@ -264,8 +264,32 @@ def _run_inner_streaming(
 
     R = engine.block_reads
 
+    def sheets_prefetched():
+        """Parse input sheets on a reader thread so record decoding
+        overlaps the pipeline instead of stalling the block feed."""
+        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
+
+        def reader():
+            try:
+                for sheet in task_queue:
+                    q.put(sheet)
+                q.put(None)
+            except BaseException as e:  # surfaced on the consumer side
+                q.put(e)
+
+        threading.Thread(
+            target=reader, name="input-reader", daemon=True
+        ).start()
+        while True:
+            s = q.get()
+            if s is None:
+                return
+            if isinstance(s, BaseException):
+                raise s
+            yield s
+
     def blocks():
-        for sheet in task_queue:
+        for sheet in sheets_prefetched():
             logger.debug("Map chunk %d of records", sheet.chunk_id)
             recs = sheet.records
             for off in range(0, max(len(recs), 1), R):

@@ -65,6 +65,15 @@ _RANK_TABLE = np.zeros(256, dtype=np.int32)
 for _i, _c in enumerate(b"ACGT"):
     _RANK_TABLE[_c] = _i + 1
 
+# read-base equivalence classes for the score LUT: the per-cell score is a
+# pure function of (position, read_len, to-class, qual) where to-class is
+# A/C/G/T/other (raw_grid compares the exact byte against ACGT; every
+# non-ACGT byte yields the same independent-error column)
+_CLS_TABLE = np.full(256, 4, dtype=np.uint8)
+for _i, _c in enumerate(b"ACGT"):
+    _CLS_TABLE[_c] = _i
+_CLS_REPR = np.frombuffer(b"ACGTN", dtype=np.uint8)
+
 DEFAULT_TIERS = ((2048, None),)
 
 
@@ -137,6 +146,77 @@ def _batch_luts(sdm, params, seqs, quals, n, threads: int = 0):
     score_lut = np.where(valid[:, :, None], score_lut, np.float32(0.0))
     pen = np.where(valid, pen, np.float32(0.0)).astype(np.float32)
     return score_lut.astype(np.float32), pen
+
+
+class _LutCache:
+    """Per-read-length score-LUT / penalty tables.
+
+    The (score_lut, pen) cell values from `_batch_luts` are pure functions
+    of (position j, read_len n, read-base class, qual): all f32 math in
+    raw_grid is elementwise, the from-base max runs over the same 4
+    candidates, and gaps_allowed depends only on (j, n).  Caching one
+    (n, 5, Q, 4) table per distinct read length turns the per-block LUT
+    build into a gather -- bit-identical to recomputing (same op order on
+    the same scalar inputs), asserted by tests/test_device_search.py.
+    """
+
+    def __init__(self, sdm, params):
+        self.sdm = sdm
+        self.params = params
+        self.tables: dict[int, tuple] = {}
+
+    @staticmethod
+    def usable(sdm) -> bool:
+        from ..models.adna import SequenceDifferenceModel
+
+        # the generic raw_grid falls back to scalar get() per cell -- a
+        # (n, 5, Q) table build would be slower than the direct grid
+        return type(sdm).raw_grid is not SequenceDifferenceModel.raw_grid
+
+    def _build(self, n: int, qmax: int):
+        Q = max(qmax + 1, 46)
+        j = np.broadcast_to(np.arange(n, dtype=np.int64)[:, None, None], (n, 5, Q))
+        to = np.broadcast_to(_CLS_REPR[None, :, None], (n, 5, Q))
+        qual = np.broadcast_to(
+            np.arange(Q, dtype=np.uint8)[None, None, :], (n, 5, Q)
+        )
+        raw = self.sdm.raw_grid(j, np.int64(n), to, qual)  # (n, 5, Q, 4)
+        is_acgt = np.isin(_CLS_REPR, _ACGT)[None, :, None]
+        opt = np.where(is_acgt, raw.max(axis=3), np.float32(0.0)).astype(
+            np.float32
+        )
+        score = np.float32(raw - opt[..., None])
+        eq = _CLS_REPR[None, :, None, None] == _ACGT[None, None, None, :]
+        mm_raw = np.where(eq, _F32_MIN, raw).max(axis=3)
+        mm_retval = np.float32(mm_raw - opt)
+        jj = np.arange(n, dtype=np.int64)
+        gaps_allowed = (
+            np.minimum(jj, n - 1 - jj) >= self.params.gap_dist_ends
+        )[:, None, None]
+        pen = np.where(
+            gaps_allowed,
+            np.maximum(mm_retval, self.params.penalty_gap_extend),
+            mm_retval,
+        ).astype(np.float32)
+        return Q, np.ascontiguousarray(score), np.ascontiguousarray(pen)
+
+    def fill(self, seqs, quals, n_arr, score_out, pen_out):
+        """Gather (score_lut, pen) rows for a padded (L, M) read grid into
+        the given output arrays (rows beyond each read's length stay 0)."""
+        for ln in np.unique(n_arr):
+            ln = int(ln)
+            if ln == 0:
+                continue
+            rows = np.flatnonzero(n_arr == ln)
+            q = quals[rows][:, :ln]
+            ent = self.tables.get(ln)
+            if ent is None or ent[0] <= int(q.max(initial=0)):
+                ent = self.tables[ln] = self._build(ln, int(q.max(initial=0)))
+            _Q, t_score, t_pen = ent
+            cls = _CLS_TABLE[seqs[rows][:, :ln]]
+            j = np.arange(ln)[None, :]
+            score_out[rows[:, None], j] = t_score[j, cls, q]
+            pen_out[rows[:, None], j] = t_pen[j, cls, q]
 
 
 class DeviceSearchEngine:
@@ -273,13 +353,32 @@ class DeviceSearchEngine:
         pattern_code = BASE_TO_CODE[seqs].astype(np.int32)
         # LUT math only over real rows; padding rows are all-zero anyway
         n_real = min(len(records), L)
-        score_lut = np.zeros((L, max_len, 4), dtype=np.float32)
         pen = np.zeros((L, max_len), dtype=np.float32)
+        if host_bid:
+            # allocate the one-transfer upload blob up front and fill the
+            # score columns in place (saves a 16 MB array + 16 MB copy per
+            # block vs building score_lut separately and packing it)
+            RM = L * max_len
+            blob = np.zeros(5 * L + RM * 8, dtype=np.int32)
+            packed3 = blob[5 * L :].view(np.float32).reshape(L, max_len, 8)
+            score_lut = packed3[:, :, :4]
+        else:
+            blob = packed3 = None
+            score_lut = np.zeros((L, max_len, 4), dtype=np.float32)
         if n_real:
-            score_lut[:n_real], pen[:n_real] = _batch_luts(
-                sdm, self.parameters, seqs[:n_real], quals[:n_real],
-                n[:n_real],
-            )
+            cache = self._lut_cache()
+            if cache is not None:
+                cache.fill(
+                    seqs[:n_real], quals[:n_real], n[:n_real],
+                    score_lut[:n_real], pen[:n_real],
+                )
+            else:
+                sl, pe = _batch_luts(
+                    sdm, self.parameters, seqs[:n_real], quals[:n_real],
+                    n[:n_real],
+                )
+                score_lut[:n_real] = sl
+                pen[:n_real] = pe
         t_lut = time.perf_counter() - t_lut
 
         # host-side views kept for escalated-read fallback: the native
@@ -295,32 +394,31 @@ class DeviceSearchEngine:
         if host_bid:
             import os
 
+            # Bi-D (threaded C++, GIL-released) overlaps the 33 MB blob
+            # packing below instead of serializing ahead of it
             t_bid = time.perf_counter()
-            bid = self._native_bid().compute(
+            bid_fut = self._bid_exec().submit(
+                self._native_bid().compute,
                 pattern_rank.astype(np.uint8), pen, n, split,
-                threads=max(1, (os.cpu_count() or 2) - 1),
+                max(1, (os.cpu_count() or 2) - 2),
             )
-            t_bid = time.perf_counter() - t_bid
             t_blob = time.perf_counter()
-            RM = L * max_len
             # padded/empty reads must reject everything immediately (the
             # non-packed path applies this in _dispatch_pool)
             thresh = cutoff_thresh.copy()
             thresh[n == 0] = np.float32(np.inf)
             # ONE host->device transfer (the axon transport charges ~34 ms
             # per round trip) then an on-device unpack; the packed LUT rows
-            # are written straight into the blob (no 33 MB concat copy)
-            blob = np.empty(5 * L + RM * 8, dtype=np.int32)
+            # were written straight into the blob by the fill above
             blob[:L] = n.view(np.int32)
             blob[L : 2 * L] = split.view(np.int32)
             blob[2 * L : 3 * L] = cutoff_scale.view(np.int32)
             blob[3 * L : 4 * L] = thresh.view(np.int32)
             blob[4 * L : 5 * L] = repr_mm.view(np.int32)
-            packed = blob[5 * L :].view(np.float32).reshape(RM, 8)
-            packed[:, :4] = score_lut.reshape(RM, 4)
-            packed[:, 4] = pattern_code.reshape(RM).astype(np.float32)
-            packed[:, 5] = bid.reshape(RM)
-            packed[:, 6:] = 0.0
+            packed3[:, :, 4] = pattern_code
+            bid = bid_fut.result()
+            packed3[:, :, 5] = bid
+            t_bid = time.perf_counter() - t_bid
             t_blob = time.perf_counter() - t_blob
             t_up = time.perf_counter()
             parts = _unpack_prep(jnp.asarray(blob), L, max_len)
@@ -939,6 +1037,27 @@ class DeviceSearchEngine:
         if getattr(self, "_native_bid_cache", None) is None:
             self._native_bid_cache = native_search.NativeBiD(self.fmd)
         return self._native_bid_cache
+
+    def _bid_exec(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        if getattr(self, "_bid_exec_cache", None) is None:
+            self._bid_exec_cache = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="bid"
+            )
+        return self._bid_exec_cache
+
+    def _lut_cache(self):
+        """Per-length LUT table cache (None when the model has no
+        vectorized raw_grid -- then the direct grid build is faster)."""
+        cache = getattr(self, "_lut_cache_obj", False)
+        if cache is False:
+            cache = self._lut_cache_obj = (
+                _LutCache(self.parameters.difference_model, self.parameters)
+                if _LutCache.usable(self.parameters.difference_model)
+                else None
+            )
+        return cache
 
     def _host_bid_active(self) -> bool:
         """Host-C++ Bi-D + prepacked LUT table."""

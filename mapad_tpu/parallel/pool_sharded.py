@@ -27,9 +27,15 @@ from ..ops.search_pool import PoolConfig, PoolResult
 
 
 def shard_reads(mesh: Mesh, prep: dict, axis: str = "data") -> dict:
-    """Place per-read arrays sharded along the mesh axis (R must divide)."""
+    """Place per-read arrays sharded along the mesh axis (R must divide).
+
+    Host-only entries (the `_stash` fallback views) pass through unsharded.
+    """
     sh = NamedSharding(mesh, P(axis))
-    return {k: jax.device_put(v, sh) for k, v in prep.items()}
+    return {
+        k: v if k.startswith("_") else jax.device_put(v, sh)
+        for k, v in prep.items()
+    }
 
 
 def pool_search_sharded(

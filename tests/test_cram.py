@@ -186,13 +186,63 @@ def test_unsupported_31_codec():
         _write([_unmapped(b"q", b"ACACAC", bytes([9] * 6))],
                block_method=M_GZIP).getvalue()
     )
-    # find a gzip external block and flip its method byte to 5 (rans4x16);
+    # find a gzip external block and flip its method byte to 8 (tok3);
     # take the LAST match -- external blocks sit at the container's end
     idx = data.rfind(bytes([M_GZIP, 4]))  # method=gzip, content_type=external
     assert idx > 0
-    data[idx] = 5
-    with pytest.raises(InvalidInputType, match="3.1"):
+    data[idx] = 8
+    with pytest.raises(InvalidInputType, match="name-tokenizer"):
         list(CramReader(io.BytesIO(bytes(data))))
+
+
+def test_rans_nx16_roundtrip_matrix():
+    from mapad_tpu.io import rans_nx16 as rx
+
+    rng = np.random.default_rng(7)
+    datasets = [
+        bytes(rng.choice(np.frombuffer(b"##$%&'(FFFFIII", np.uint8), 5000)),
+        bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 3000)),
+        b"".join(
+            bytes([int(b)]) * int(r)
+            for b, r in zip(
+                rng.choice(np.frombuffer(b"AB", np.uint8), 200),
+                rng.integers(1, 40, 200),
+            )
+        ),
+        b"XYZ",
+        bytes(rng.integers(0, 256, 4096, dtype=np.uint8)),
+    ]
+    flag_sets = [
+        0, rx.ORDER1, rx.X32, rx.ORDER1 | rx.X32, rx.PACK, rx.RLE,
+        rx.PACK | rx.RLE, rx.CAT, rx.STRIPE, rx.STRIPE | rx.ORDER1,
+        rx.NOSZ, rx.ORDER1 | rx.RLE, rx.ORDER1 | rx.PACK | rx.RLE,
+    ]
+    for data in datasets:
+        for flags in flag_sets:
+            if flags & rx.PACK and len(set(data)) > 16:
+                continue
+            enc = rx.encode(data, flags)
+            out_len = len(data) if flags & rx.NOSZ else None
+            assert rx.decode(enc, out_len) == data, hex(flags)
+
+
+def test_cram_31_rans_nx16_file():
+    """A CRAM 3.1 file with rANS-Nx16-compressed blocks decodes end to end
+    (reference capability: noodles-cram 0.83 reads 3.1;
+    src/map/input_chunk_reader.rs:81-89)."""
+    from mapad_tpu.io.cram import M_RANSNX16
+
+    recs = [
+        _unmapped(b"n%d" % i, b"ACGTTGCA" * 4, bytes([25 + i % 3] * 32),
+                  tags=[(b"XY", "i", i)])
+        for i in range(7)
+    ]
+    buf = _write(recs, block_method=M_RANSNX16, version=(3, 1))
+    assert buf.getvalue()[4:6] == bytes([3, 1])
+    out = _records_list(buf)
+    assert len(out) == 7
+    assert all(r.sequence == b"ACGTTGCA" * 4 for r in out)
+    assert [r.tags for r in out] == [[(b"XY", "i", i)] for i in range(7)]
 
 
 def test_input_source_cram_integration():

@@ -344,3 +344,42 @@ def test_pool_host_bid_equals_device_bid(bench_fixture, monkeypatch):
     res_host = run("1")
     for (dh, _), (hh, _) in zip(res_dev, res_host):
         assert_hits_equal(hh, dh)
+
+
+def test_lut_cache_bitexact_vs_batch_luts():
+    """The per-length LUT table cache must reproduce _batch_luts bitwise
+    (same f32 op order on the same scalar inputs; engine.py _LutCache)."""
+    from mapad_tpu.ops.engine import _LutCache, _batch_luts
+
+    params = _adna_params()
+    sdm = params.difference_model
+    assert _LutCache.usable(sdm)
+    rng = np.random.default_rng(11)
+    L, M = 64, 96
+    seqs = np.zeros((L, M), dtype=np.uint8)
+    quals = np.zeros((L, M), dtype=np.uint8)
+    n = np.zeros(L, dtype=np.int32)
+    bases = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    for i in range(L):
+        ln = int(rng.integers(17, M + 1))
+        n[i] = ln
+        seqs[i, :ln] = bases[rng.integers(0, 5, size=ln)]
+        quals[i, :ln] = rng.integers(2, 60, size=ln)
+    ref_lut, ref_pen = _batch_luts(sdm, params, seqs, quals, n, threads=1)
+
+    cache = _LutCache(sdm, params)
+    got_lut = np.zeros((L, M, 4), dtype=np.float32)
+    got_pen = np.zeros((L, M), dtype=np.float32)
+    cache.fill(seqs, quals, n, got_lut, got_pen)
+    np.testing.assert_array_equal(got_lut.view(np.uint32), ref_lut.view(np.uint32))
+    np.testing.assert_array_equal(got_pen.view(np.uint32), ref_pen.view(np.uint32))
+
+    # second fill reuses the cached tables; also exercise a qual above the
+    # first build's Q ceiling (forces a table rebuild)
+    quals[0, 0] = 93
+    ref_lut2, ref_pen2 = _batch_luts(sdm, params, seqs, quals, n, threads=1)
+    got_lut[:] = 0
+    got_pen[:] = 0
+    cache.fill(seqs, quals, n, got_lut, got_pen)
+    np.testing.assert_array_equal(got_lut.view(np.uint32), ref_lut2.view(np.uint32))
+    np.testing.assert_array_equal(got_pen.view(np.uint32), ref_pen2.view(np.uint32))

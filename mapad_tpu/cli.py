@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
     sub = parser.add_subparsers(dest="command", required=True)
 
     p_index = sub.add_parser("index", help="Indexes a genome file")
+    p_index.add_argument(
+        "--mapad_format", action="store_true",
+        help="Additionally write the reference implementation's index "
+             "container (.tbw/.tle/.tsa/.tpi/.tos/.trt; the rust-bio-"
+             "internal .toc is re-derived at load time)",
+    )
     p_index.add_argument("-g", "--reference", required=True,
                          help="FASTA file containing the genome to be indexed")
 
@@ -204,7 +210,10 @@ def _dispatch(args):
     if args.command == "index":
         from .index.builder import run as index_run
 
-        index_run(args.reference, seed=args.seed)
+        index_run(
+            args.reference, seed=args.seed,
+            mapad_format=getattr(args, "mapad_format", False),
+        )
         return 0
 
     if args.command == "map":

@@ -155,13 +155,25 @@ def build_from_sequences(records, occ_k: int = DEFAULT_OCC_K, seed: int = 1234):
     return fmd, ssa, id_pos_map, orig
 
 
-def run(reference_path: str, seed: int = 1234, occ_k: int = DEFAULT_OCC_K):
-    """Entry point: index the FASTA at reference_path (indexing.rs:29-38)."""
+def run(reference_path: str, seed: int = 1234, occ_k: int = DEFAULT_OCC_K,
+        mapad_format: bool = False):
+    """Entry point: index the FASTA at reference_path (indexing.rs:29-38).
+
+    mapad_format=True additionally writes the reference implementation's
+    own on-disk container (6 of its 7 files: .tbw/.tle/.tsa/.tpi/.tos/.trt;
+    indexing.rs:111-207.  The .toc occurrence table is not emitted -- its
+    layout belongs to the patched rust-bio fork and is re-derived from the
+    BWT at load time by this framework's reader, index/mapad_native.py)."""
     logger.info("Read input reference sequence")
     records = [(r.name, r.sequence) for r in read_fasta(reference_path)]
     fmd, ssa, id_pos_map, orig = build_from_sequences(records, occ_k=occ_k, seed=seed)
     logger.info("Save index")
     save_index(reference_path, fmd, ssa, id_pos_map, orig, {"seed": seed})
+    if mapad_format:
+        from .mapad_native import save_mapad_index
+
+        logger.info("Save mapAD-format index files")
+        save_mapad_index(reference_path, fmd, ssa, id_pos_map, orig)
 
 
 def build_auxiliary_structures(reference: bytes, alphabet: bytes = b"ACGTacgt",

@@ -41,3 +41,27 @@ def test_parse_read_group():
     rg_id, fields = parse_read_group("@RG\\tID:RG01\\tSM:sample2")
     assert rg_id == "RG01"
     assert fields == [("SM", "sample2")]
+
+
+def test_cli_index_mapad_format(tmp_path):
+    import numpy as np
+
+    from mapad_tpu.cli import main
+    from mapad_tpu.index.mapad_native import is_mapad_native_index, load_mapad_index
+    from mapad_tpu.index.runtime import load_index
+
+    rng = np.random.default_rng(3)
+    fa = tmp_path / "g.fa"
+    seq = "".join("ACGT"[c] for c in rng.integers(0, 4, 3000))
+    fa.write_text(f">c1\n{seq[:2000]}\n>c2\n{seq[2000:]}NNN\n")
+    assert main(["index", "-g", str(fa), "--mapad_format"]) == 0
+    assert is_mapad_native_index(str(fa))
+    ours = load_index(str(fa))
+    theirs = load_mapad_index(str(fa))
+    np.testing.assert_array_equal(ours.fmd.bwt, theirs.fmd.bwt)
+    np.testing.assert_array_equal(
+        np.asarray(ours.suffix_array.sample),
+        np.asarray(theirs.suffix_array.sample),
+    )
+    assert [c.identifier for c in ours.id_pos_map] == ["c1", "c2"]
+    assert [c.identifier for c in theirs.id_pos_map] == ["c1", "c2"]

@@ -326,7 +326,8 @@ def main():
         native_share = f", native_share={1 - engine._p:.2f}"
     sys.stderr.write(
         f"# {len(reads)} reads in {elapsed:.2f}s, {n_mapped} mapped, "
-        f"escalated={stats['escalated']} ({esc_rate:.1%} of device lanes)"
+        f"escalated={stats['escalated']} ({esc_rate:.1%} of device lanes, "
+        f"{stats.get('fb_secs', 0.0):.1f} fallback core-s)"
         f"{native_share}, workload="
         f"{'easy' if os.environ.get('BENCH_EASY') else 'hard'}\n"
     )

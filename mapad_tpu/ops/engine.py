@@ -284,7 +284,8 @@ class DeviceSearchEngine:
             pool_config = pool_config._replace(backward_only=False)
         self.pool_config = pool_config
         self.tiers = tiers
-        self._stats = {"device_lanes": 0, "escalated": 0, "oracle": 0, "batches": 0}
+        self._stats = {"device_lanes": 0, "escalated": 0, "oracle": 0,
+                       "batches": 0, "fb_secs": 0.0}
         self._params_cache = None
 
     # --- host-side per-read preparation (exact f32 paths) ---
@@ -418,6 +419,7 @@ class DeviceSearchEngine:
             packed3[:, :, 4] = pattern_code
             bid = bid_fut.result()
             packed3[:, :, 5] = bid
+            stash["bid"] = bid  # cost-model input for balanced sharding
             t_bid = time.perf_counter() - t_bid
             t_blob = time.perf_counter() - t_blob
             t_up = time.perf_counter()
@@ -1098,7 +1100,9 @@ class DeviceSearchEngine:
                 record.sequence, record.base_qualities,
                 self.parameters, self.fmd,
             )
-        return i, (hits, time.perf_counter() - t1)
+        dt = time.perf_counter() - t1
+        self._stats["fb_secs"] += dt  # total exact-fallback core-seconds
+        return i, (hits, dt)
 
     def _native_search(self, searcher, record):
         sdm = self.parameters.difference_model

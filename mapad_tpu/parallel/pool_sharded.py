@@ -38,6 +38,47 @@ def shard_reads(mesh: Mesh, prep: dict, axis: str = "data") -> dict:
     }
 
 
+def round_robin_permutation(R: int, D: int) -> np.ndarray:
+    """Permutation placing reads round-robin into the D contiguous shard
+    slices (reads[perm][d*R/D:(d+1)*R/D] = every D-th read, offset d).
+
+    Measured on the bench workload (tools/balance_probe.py): input files
+    carry positional correlation (damage/length/repeat-region runs), so a
+    contiguous split bears ~14% per-shard step spread while round-robin
+    dealing gets ~12% -- and a cost-MODEL deal does no better (Bi-D /
+    optimal-score totals do not predict per-read search depth: spearman
+    0.04; the true-cost lower bound is ~4% but the cost is unknowable
+    host-side).  Round-robin is therefore the production deal: the cheap
+    ~90%-efficiency static analogue of the reference's dynamic dispatcher
+    queue (src/distributed/dispatcher.rs:165-338).
+
+    Invert with np.argsort(perm) to map results back.
+    """
+    shard_of = np.arange(R, dtype=np.int64) % D
+    return np.argsort(shard_of, kind="stable")
+
+
+def balanced_shard_permutation(pred_costs: np.ndarray, D: int) -> np.ndarray:
+    """Permutation placing reads so the D contiguous shard slices have
+    near-equal predicted total cost (snake deal over descending cost).
+
+    Kept for workloads where a real per-read cost estimate exists (e.g.
+    re-mapping with measured XD step counts); for a-priori mapping use
+    `round_robin_permutation` (see its docstring for the probe numbers).
+
+    Returns `perm` such that reads[perm] has shard d's reads at
+    [d*R/D, (d+1)*R/D).  Invert with np.argsort(perm) to map results back.
+    """
+    R = len(pred_costs)
+    order = np.argsort(-np.asarray(pred_costs), kind="stable")
+    shard_of = np.empty(R, dtype=np.int64)
+    for k in range(R):
+        d = k % (2 * D)
+        shard_of[order[k]] = d if d < D else 2 * D - 1 - d
+    # stable sort by assigned shard -> contiguous slices per shard
+    return np.argsort(shard_of, kind="stable")
+
+
 def pool_search_sharded(
     mesh: Mesh,
     index,

@@ -39,7 +39,8 @@ def shard_search_inputs(mesh: Mesh, prep: dict, axis: str = "data") -> dict:
     lane_sharding = NamedSharding(mesh, P(axis))
     out = {}
     for k, v in prep.items():
-        out[k] = jax.device_put(v, lane_sharding)
+        # host-only entries (the `_stash` fallback views) stay unsharded
+        out[k] = v if k.startswith("_") else jax.device_put(v, lane_sharding)
     return out
 
 

@@ -58,7 +58,7 @@ def _unpack_prep(blob, R, M):
     scale = f32(blob[2 * R : 3 * R])
     thresh = f32(blob[3 * R : 4 * R])
     repr_mm = f32(blob[4 * R : 5 * R])
-    slut = f32(blob[5 * R :].reshape(R * M, 8))
+    slut = f32(blob[5 * R :].reshape(R * M, 6))
     return n, split, scale, thresh, repr_mm, slut
 
 _RANK_TABLE = np.zeros(256, dtype=np.int32)
@@ -360,8 +360,8 @@ class DeviceSearchEngine:
             # score columns in place (saves a 16 MB array + 16 MB copy per
             # block vs building score_lut separately and packing it)
             RM = L * max_len
-            blob = np.zeros(5 * L + RM * 8, dtype=np.int32)
-            packed3 = blob[5 * L :].view(np.float32).reshape(L, max_len, 8)
+            blob = np.zeros(5 * L + RM * 6, dtype=np.int32)
+            packed3 = blob[5 * L :].view(np.float32).reshape(L, max_len, 6)
             score_lut = packed3[:, :, :4]
         else:
             blob = packed3 = None

@@ -152,27 +152,28 @@ def k_mismatch_search_pool2(
     # (same as the occ rows, ~2 us/step).  Built on device from the 32 B/row
     # payload so the host->device transfer stays small.
     if slut_packed is not None:
-        assert slut_packed.shape == (R * M, 8), slut_packed.shape
-        slut8 = slut_packed
+        # 6 f32 per row (score[4], code, bid): the upload payload; the two
+        # always-zero pad words live only in the on-device padded rows
+        assert slut_packed.shape == (R * M, 6), slut_packed.shape
+        slut6 = slut_packed
     else:
         bid = compute_bi_d(
             index, pattern_rank, pen, n, split,
             compute_forward_part=config.compute_forward_part,
         )
-        slut8 = jnp.concatenate(
+        slut6 = jnp.concatenate(
             [
                 score_lut.reshape(R * M, 4),
                 pattern_code.reshape(R * M, 1).astype(jnp.float32),
                 bid.reshape(R * M, 1),
-                jnp.zeros((R * M, 2), jnp.float32),
             ],
             axis=1,
         )
     # the barrier forces the padded table to materialize in HBM -- XLA must
     # not fuse the pad into the per-step gathers (that re-reads the narrow
-    # 32 B rows the layout exists to avoid)
+    # 24 B rows the layout exists to avoid)
     slut_rows = jax.lax.optimization_barrier(
-        jnp.pad(slut8, ((0, 0), (0, 120)))
+        jnp.pad(slut6, ((0, 0), (0, 122)))
     )
     consts = jnp.stack(
         [

@@ -240,7 +240,9 @@ def main():
             "figure\n"
         )
         engine_kind = "native"
-    big = bool(os.environ.get("BENCH_BIG"))  # force int64 device mode
+    # BENCH_BIG=1 forces int64 device mode; default None = auto (int64
+    # iff the text needs it -- the hg19-scale path selects itself)
+    big = True if os.environ.get("BENCH_BIG") else None
     from mapad_tpu.map import native_post
 
     packed = native_post.available() and not os.environ.get(
@@ -271,8 +273,11 @@ def main():
     fastq = reads_fastq(index, N_READS)
     reads = load_reads(fastq)
 
-    # Warmup (compile)
-    engine.search_chunk(reads[:LANES])
+    # Warmup (compile).  Include the longest read so the warmup block's
+    # pattern-axis size M (rounded to 16) matches the timed passes' --
+    # otherwise the first timed pass pays a fresh kernel compile
+    longest = max(reads, key=lambda r: len(r.sequence))
+    engine.search_chunk(reads[: LANES - 1] + [longest])
 
     if os.environ.get("BENCH_SEARCH_ONLY"):
         # legacy mode: search stage only (round-1 numbers were this)

@@ -87,7 +87,16 @@ def get_genome_index():
     prefix = os.path.join(CACHE, f"genome_{GENOME_SIZE}{suffix}")
     if not os.path.exists(prefix + ".tpx/meta.json"):
         ref = gen_genome(GENOME_SIZE)
-        fmd, ssa, idp, orig = build_from_sequences([("bench_chr", ref.tobytes())])
+        # BAM caps per-contig length at int32 (@SQ LN), so genome-scale
+        # benches must be multi-contig like real assemblies; the FMD text
+        # is the plain concatenation either way, so contig count does not
+        # change the search structures
+        step = 248_000_000
+        seqs = [
+            (f"bench_chr{i + 1}", ref[o : o + step].tobytes())
+            for i, o in enumerate(range(0, GENOME_SIZE, step))
+        ]
+        fmd, ssa, idp, orig = build_from_sequences(seqs)
         save_index(prefix, fmd, ssa, idp, orig)
     return load_index(prefix)
 

@@ -5,6 +5,7 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass, field
 
+from ..errors import MapadError
 from .bgzf import BgzfStream, BgzfWriter
 
 CIGAR_OPS = "MIDNSHP=X"
@@ -297,6 +298,12 @@ class BamWriter:
         buf = b"BAM\x01" + struct.pack("<i", len(text)) + text
         buf += struct.pack("<i", len(header.sq))
         for name, length, _extra in header.sq:
+            if length > 0x7FFFFFFF:
+                raise MapadError(
+                    f"BAM cannot represent contig {name!r} of length "
+                    f"{length}: the @SQ LN field is int32 (split the "
+                    "reference into chromosome-sized contigs)"
+                )
             nm = name.encode() + b"\x00"
             buf += struct.pack("<i", len(nm)) + nm + struct.pack("<i", length)
         self._w.write(buf)

@@ -1215,6 +1215,68 @@ class HybridSearchEngine:
         self._p = device_fraction
         self._stats = self.device._stats
 
+    @property
+    def block_reads(self) -> int:
+        return self.device.block_reads
+
+    def search_stream(self, blocks, lazy_fallback: bool = False):
+        """Streaming hybrid: each block's tail (1-p fraction) runs on the
+        native host engine concurrently with the device stream handling
+        the head; p adapts to the measured completed-read ratio (both
+        sides run the whole wall clock, so their cumulative completions
+        estimate their capacity ratio)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self.native is None:
+            yield from self.device.search_stream(
+                blocks, lazy_fallback=lazy_fallback
+            )
+            return
+        nat_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="hybrid-native"
+        )
+        pending: dict = {}
+        done = {"dev": 0, "nat": 0}
+
+        def _hashable(k):
+            try:
+                hash(k)
+                return True
+            except TypeError:
+                return False
+
+        def split():
+            for key, recs in blocks:
+                n = len(recs)
+                k = n if n < 256 else max(1, min(n, int(n * self._p)))
+                fut = (
+                    nat_pool.submit(self.native.search_chunk, recs[k:])
+                    if k < n else None
+                )
+                pending[id(key) if not _hashable(key) else key] = (k, fut)
+                yield key, recs[:k]
+
+        try:
+            for key, dev_out in self.device.search_stream(
+                split(), lazy_fallback=lazy_fallback
+            ):
+                k, fut = pending.pop(
+                    id(key) if not _hashable(key) else key
+                )
+                done["dev"] += k
+                if fut is None:
+                    yield key, dev_out
+                    continue
+                nres = fut.result()
+                done["nat"] += len(nres)
+                tot = done["dev"] + done["nat"]
+                if tot >= 1024:
+                    p_obs = done["dev"] / tot
+                    self._p = min(0.95, max(0.05, 0.5 * self._p + 0.5 * p_obs))
+                yield key, list(dev_out) + list(nres)
+        finally:
+            nat_pool.shutdown(wait=False)
+
     def search_chunk(self, records, lazy_fallback: bool = False):
         import concurrent.futures
 

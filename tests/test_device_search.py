@@ -383,3 +383,51 @@ def test_lut_cache_bitexact_vs_batch_luts():
     cache.fill(seqs, quals, n, got_lut, got_pen)
     np.testing.assert_array_equal(got_lut.view(np.uint32), ref_lut2.view(np.uint32))
     np.testing.assert_array_equal(got_pen.view(np.uint32), ref_pen2.view(np.uint32))
+
+
+def test_hybrid_stream_equals_oracle(bench_fixture):
+    """The hybrid engine's streaming path (device stream + native tail per
+    block) must yield blocks in order with oracle-exact combined results."""
+    from mapad_tpu.map import native_search
+    from mapad_tpu.ops.engine import HybridSearchEngine
+    from mapad_tpu.ops.search_pool import PoolConfig
+
+    if not native_search.available():
+        pytest.skip("native searcher unavailable")
+    ref, fmd, _ = bench_fixture
+    params = _adna_params()
+    rng = np.random.default_rng(23)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    reads = []
+    for _ in range(600):
+        ln = int(rng.integers(20, 101))
+        start = int(rng.integers(0, len(ref) - ln))
+        seq = bytearray(ref[start : start + ln])
+        for _ in range(int(rng.integers(0, 3))):
+            seq[int(rng.integers(0, ln))] = int(rng.choice(bases))
+        reads.append(bytes(seq))
+    records = _records(reads)
+
+    cfg = PoolConfig(max_len=128, lanes=16, total_steps=16384, max_chains=512,
+                     compute_forward_part=False)
+    engine = HybridSearchEngine(fmd, params, mode="pool", pool_config=cfg)
+    R = 300
+    engine.device.block_reads = R
+    blocks = [
+        (("key", base), records[base : base + R])
+        for base in range(0, len(records), R)
+    ]
+    got = list(engine.search_stream(iter(blocks), lazy_fallback=True))
+    assert [k for k, _ in got] == [k for k, _ in blocks]
+    from concurrent.futures import Future
+
+    for (key, out), (_, blk) in zip(got, blocks):
+        assert len(out) == len(blk)
+        for res, record in zip(out, blk):
+            if isinstance(res, Future):
+                res = res.result()
+            hits, _dur = res
+            oracle_hits = oracle_search(
+                record.sequence, record.base_qualities, params, fmd
+            )
+            assert_hits_equal(hits, oracle_hits, record.sequence[:16])

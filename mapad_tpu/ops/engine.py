@@ -1062,12 +1062,22 @@ class DeviceSearchEngine:
         return cache
 
     def _host_bid_active(self) -> bool:
-        """Host-C++ Bi-D + prepacked LUT table."""
+        """Host-C++ Bi-D + prepacked LUT table.
+
+        Defaults OFF in big (int64) mode: the C++ Bi-D walks the
+        multi-GB BWT at DRAM-miss speed (~24 ms core per read measured
+        at 3.1 Gbp -- 12.4 s per 1024 reads), while the kernel's device
+        prologue gathers the same occ rows from HBM at ~151 ms per
+        invocation.  MAPAD_HOST_BID=1/0 forces either way.
+        """
         import os
 
         from ..map import native_search
 
-        if os.environ.get("MAPAD_HOST_BID", "1") == "0":
+        env = os.environ.get("MAPAD_HOST_BID")
+        if env == "0":
+            return False
+        if env is None and getattr(self.device_index, "big", False):
             return False
         return native_search.available()
 

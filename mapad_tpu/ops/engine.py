@@ -542,11 +542,17 @@ class DeviceSearchEngine:
     def block_reads(self) -> int:
         """Device invocation size: 8192-read invocations amortize the
         ~74 ms fixed overhead (20.8k vs 15.8k reads/s at 4096 on chip,
-        tools/sweep_lanes.py).  Assignable (tests, tuning)."""
+        tools/sweep_lanes.py).  Big (int64) mode halves this: genome-scale
+        texts need ~1.5 steps/read (vs ~0.7 at 4 Mbp), so 8192 reads
+        starve the S=8192 step budget and escalate >50% of the block to
+        the host (hg19 e2e measured 269 reads/s that way); 4096-read
+        invocations give each read twice the budget.  Assignable (tests,
+        tuning)."""
         override = getattr(self, "_block_reads", None)
         if override:
             return max(self.pool_config.lanes, override)
-        return max(self.pool_config.lanes, 8192)
+        default = 4096 if self.device_index.big else 8192
+        return max(self.pool_config.lanes, default)
 
     @block_reads.setter
     def block_reads(self, value: int):

@@ -60,16 +60,22 @@ class _Cur:
         self.pos = 0
 
     def u8(self) -> int:
+        if self.pos >= len(self.buf):
+            raise InvalidInputType("rans-nx16: truncated stream")
         v = self.buf[self.pos]
         self.pos += 1
         return v
 
     def u16le(self) -> int:
+        if self.pos + 2 > len(self.buf):
+            raise InvalidInputType("rans-nx16: truncated stream")
         v = self.buf[self.pos] | (self.buf[self.pos + 1] << 8)
         self.pos += 2
         return v
 
     def u32le(self) -> int:
+        if self.pos + 4 > len(self.buf):
+            raise InvalidInputType("rans-nx16: truncated stream")
         v = int.from_bytes(self.buf[self.pos : self.pos + 4], "little")
         self.pos += 4
         return v
@@ -77,6 +83,8 @@ class _Cur:
     def uint7(self) -> int:
         v = 0
         while True:
+            if self.pos >= len(self.buf):
+                raise InvalidInputType("rans-nx16: truncated stream")
             c = self.buf[self.pos]
             self.pos += 1
             v = (v << 7) | (c & 0x7F)
@@ -263,7 +271,20 @@ def _decode_o1_core(cur: _Cur, n: int, N: int) -> bytes:
     total = 1 << shift
     tables = {}
     for ctx in syms:
-        row = {s: tab.uint7() for s in syms}
+        # per-row frequencies with the spec's zero-run escape: a stored
+        # frequency of 0 is followed by a u8 count of ADDITIONAL zero
+        # entries (hts-specs CRAMcodecs "rANS Nx16" ReadFrequenciesOrder1)
+        row = {}
+        zero_run = 0
+        for s in syms:
+            if zero_run > 0:
+                zero_run -= 1
+                row[s] = 0
+                continue
+            f = tab.uint7()
+            row[s] = f
+            if f == 0:
+                zero_run = tab.u8()
         row = _normalize_to(
             {s: f for s, f in row.items() if f > 0} or {syms[0]: total},
             total,
@@ -328,8 +349,24 @@ def _encode_o1_core(data: bytes, N: int) -> bytes:
             {s: row.get(s, 0) for s in syms if row.get(s, 0) > 0}, total
         )
         tables[ctx] = (*_cum_lookup(row, total), row)
-        for s in syms:
-            table += _put_uint7(row.get(s, 0))
+        # zero-run escape on the encode side: each stored 0 frequency is
+        # followed by a u8 count of additional zeros (capped at 255)
+        k = 0
+        while k < len(syms):
+            f = row.get(syms[k], 0)
+            table += _put_uint7(f)
+            if f == 0:
+                run_end = k + 1
+                while (
+                    run_end < len(syms)
+                    and row.get(syms[run_end], 0) == 0
+                    and run_end - k - 1 < 255
+                ):
+                    run_end += 1
+                table.append(run_end - k - 1)
+                k = run_end
+            else:
+                k += 1
     R = [RANS_L] * N
     chunks: list[bytearray] = [bytearray() for _ in range(N)]
     # encode each fragment in reverse (contexts known from forward pass)

@@ -226,6 +226,53 @@ def test_rans_nx16_roundtrip_matrix():
             assert rx.decode(enc, out_len) == data, hex(flags)
 
 
+def test_rans_nx16_order1_zero_run_vectors():
+    """Byte-exact order-1 streams hand-assembled from the hts-specs
+    CRAMcodecs pseudocode (ReadFrequenciesOrder1): a stored frequency of 0
+    is followed by a u8 count of ADDITIONAL zero entries.  These vectors
+    are decoder-independent of our encoder, so they catch a shared
+    encoder/decoder deviation that round-trip tests cannot.
+
+    Construction: every context row gives its single allowed symbol the
+    full 1<<12 frequency, so the rANS states never change and never
+    renormalize (f == total => x' = total*(x>>12) + (x & 0xFFF) - 0 = x),
+    making the expected output verifiable by hand."""
+    from mapad_tpu.errors import InvalidInputType
+    from mapad_tpu.io import rans_nx16 as rx
+
+    states = bytes.fromhex("00800000") * 4  # 4 x u32le 0x8000 (= RANS_L)
+
+    # alphabet {0x00, 'A'}: rows store F[ctx][0]=0 (+run byte 0), then
+    # F[ctx]['A']=4096 (uint7: A0 00).  13 bytes => fragments 3/3/3/4.
+    row = bytes.fromhex("0000A000")
+    vec1 = bytes([rx.ORDER1, 13, 12 << 4]) + bytes.fromhex("004100") \
+        + row + row + states
+    assert rx.decode(vec1) == b"A" * 13
+
+    # alphabet {0x00, 'A', 'B', 'C'}: each row stores F[ctx][0]=0 with a
+    # zero-RUN byte of 2 covering 'A' and 'B', then F[ctx]['C']=4096 --
+    # exercises run > 0 (three zeros encoded as one 0 + run byte).
+    row4 = bytes.fromhex("0002A000")
+    # alphabet bytes: 00, then run 41 42 01 (A plus 1 more consecutive
+    # symbols after B => A,B,C), terminator 00
+    vec2 = bytes([rx.ORDER1, 9, 12 << 4]) + bytes.fromhex("0041420100") \
+        + row4 * 4 + states
+    assert rx.decode(vec2) == b"C" * 9
+
+    # truncated stream surfaces as InvalidInputType, not IndexError
+    import pytest
+
+    for cut in (2, 5, len(vec1) - 3):
+        with pytest.raises(InvalidInputType):
+            rx.decode(vec1[:cut])
+
+    # the encoder emits the same escape: its order-1 tables must decode
+    # under a strict spec reader (zero run-bytes consumed, row-by-row)
+    data = bytes([65, 67] * 50)  # sparse alphabet -> rows full of zeros
+    enc = rx.encode(data, rx.ORDER1)
+    assert rx.decode(enc) == data
+
+
 def test_cram_31_rans_nx16_file():
     """A CRAM 3.1 file with rANS-Nx16-compressed blocks decodes end to end
     (reference capability: noodles-cram 0.83 reads 3.1;

@@ -345,6 +345,8 @@ def main():
         f"{native_share}, workload="
         f"{'easy' if os.environ.get('BENCH_EASY') else 'hard'}\n"
     )
+    if stats.get("esc_why"):
+        sys.stderr.write(f"# escalation causes: {stats['esc_why']}\n")
     print(json.dumps({
         "metric": "reads_per_second",
         "value": round(rps, 1),

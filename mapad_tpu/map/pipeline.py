@@ -266,27 +266,46 @@ def _run_inner_streaming(
 
     def sheets_prefetched():
         """Parse input sheets on a reader thread so record decoding
-        overlaps the pipeline instead of stalling the block feed."""
+        overlaps the pipeline instead of stalling the block feed.
+
+        The reader checks a `closed` flag while putting so an abandoned
+        consumer (e.g. a downstream exception unwinding the pipeline)
+        releases the thread instead of leaving it blocked on a full
+        queue pinning parsed sheets and open input handles."""
         q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
+        closed = threading.Event()
+
+        def put_until_closed(item) -> bool:
+            while not closed.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
 
         def reader():
             try:
                 for sheet in task_queue:
-                    q.put(sheet)
-                q.put(None)
+                    if not put_until_closed(sheet):
+                        return
+                put_until_closed(None)
             except BaseException as e:  # surfaced on the consumer side
-                q.put(e)
+                put_until_closed(e)
 
         threading.Thread(
             target=reader, name="input-reader", daemon=True
         ).start()
-        while True:
-            s = q.get()
-            if s is None:
-                return
-            if isinstance(s, BaseException):
-                raise s
-            yield s
+        try:
+            while True:
+                s = q.get()
+                if s is None:
+                    return
+                if isinstance(s, BaseException):
+                    raise s
+                yield s
+        finally:
+            closed.set()
 
     def blocks():
         for sheet in sheets_prefetched():

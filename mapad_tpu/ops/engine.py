@@ -820,19 +820,29 @@ class DeviceSearchEngine:
             i for i in range(len(chunk))
             if len(chunk[i].sequence) > self.pool_config.max_len
         )
+        esc_why = self._stats.setdefault(
+            "esc_why", {"overlong": 0, "overflow": 0, "unfinished": 0,
+                        "undispatched": 0, "abandon": 0}
+        )
+        esc_why["overlong"] += len(escalated)
         n_chains = int(result.n_chains)
         if n_chains > result.c_read.shape[0]:
             # chain log overflow: cannot attribute hits safely
             escalated.update(
                 i for i in range(len(chunk)) if len(chunk[i].sequence) > 0
             )
+            esc_why["overflow"] += len(escalated)
             logger.warning("pool chain log overflow (%d chains)", n_chains)
         else:
+            pre = len(escalated)
             for rid in result.lane_read[result.lane_unfinished]:
                 if rid < len(chunk):
                     escalated.add(int(rid))
+            esc_why["unfinished"] += len(escalated) - pre
+            pre = len(escalated)
             for rid in range(int(result.next_read), len(chunk)):
                 escalated.add(rid)
+            esc_why["undispatched"] += len(escalated) - pre
 
             # group chains by read (descending slot == completion order);
             # abandon markers escalate their read.  Vectorized: a python
@@ -841,7 +851,9 @@ class DeviceSearchEngine:
             cr = result.c_read[:n_chains]
             valid = (cr >= 0) & (cr < len(chunk))
             ab = result.c_abandon[:n_chains] & valid
+            pre = len(escalated)
             escalated.update(np.unique(cr[ab]).tolist())
+            esc_why["abandon"] += len(escalated) - pre
             idx = np.flatnonzero(valid & ~result.c_abandon[:n_chains])
             ordk = idx[np.lexsort((-result.c_slot[idx], cr[idx]))]
             crs = cr[ordk]
@@ -1238,9 +1250,11 @@ class HybridSearchEngine:
     def search_stream(self, blocks, lazy_fallback: bool = False):
         """Streaming hybrid: each block's tail (1-p fraction) runs on the
         native host engine concurrently with the device stream handling
-        the head; p adapts to the measured completed-read ratio (both
-        sides run the whole wall clock, so their cumulative completions
-        estimate their capacity ratio)."""
+        the head; p adapts to the MEASURED per-side throughputs: the
+        device side runs the whole wall clock (cumulative device reads /
+        wall seconds) while the native side's capacity is its completed
+        reads over its busy seconds, so a poor initial device_fraction
+        corrects toward the ratio that makes both sides finish together."""
         from concurrent.futures import ThreadPoolExecutor
 
         if self.native is None:
@@ -1253,6 +1267,8 @@ class HybridSearchEngine:
         )
         pending: dict = {}
         done = {"dev": 0, "nat": 0}
+        nat_busy = [0.0]
+        t_start = time.perf_counter()
 
         def _hashable(k):
             try:
@@ -1261,14 +1277,17 @@ class HybridSearchEngine:
             except TypeError:
                 return False
 
+        def nat_search(recs):
+            t0 = time.perf_counter()
+            out = self.native.search_chunk(recs)
+            nat_busy[0] += time.perf_counter() - t0
+            return out
+
         def split():
             for key, recs in blocks:
                 n = len(recs)
                 k = n if n < 256 else max(1, min(n, int(n * self._p)))
-                fut = (
-                    nat_pool.submit(self.native.search_chunk, recs[k:])
-                    if k < n else None
-                )
+                fut = nat_pool.submit(nat_search, recs[k:]) if k < n else None
                 pending[id(key) if not _hashable(key) else key] = (k, fut)
                 yield key, recs[:k]
 
@@ -1285,10 +1304,17 @@ class HybridSearchEngine:
                     continue
                 nres = fut.result()
                 done["nat"] += len(nres)
-                tot = done["dev"] + done["nat"]
-                if tot >= 1024:
-                    p_obs = done["dev"] / tot
+                wall = time.perf_counter() - t_start
+                if done["dev"] + done["nat"] >= 1024 and nat_busy[0] > 0.05:
+                    rate_dev = done["dev"] / wall
+                    rate_nat = done["nat"] / nat_busy[0]
+                    p_obs = rate_dev / max(rate_dev + rate_nat, 1e-9)
                     self._p = min(0.95, max(0.05, 0.5 * self._p + 0.5 * p_obs))
+                    logger.debug(
+                        "hybrid stream: device %.0f r/s, native %.0f r/s "
+                        "(busy %.1fs of %.1fs), p -> %.2f",
+                        rate_dev, rate_nat, nat_busy[0], wall, self._p,
+                    )
                 yield key, list(dev_out) + list(nres)
         finally:
             nat_pool.shutdown(wait=False)

@@ -559,16 +559,23 @@ class DeviceSearchEngine:
         self._block_reads = value
 
     def _search_chunk_pool(self, records, lazy_fallback: bool = False):
+        from concurrent.futures import Future
+
         R = self.block_reads
         out = [None] * len(records)
         blocks = (
             (base, records[base : base + R])
             for base in range(0, len(records), R)
         )
+        # always stream lazily so the retry tier can resolve escalated
+        # reads in later device invocations; once the stream is exhausted
+        # every future is resolved or running on the fallback pool
         for base, block_out in self.search_stream(
-            blocks, lazy_fallback=lazy_fallback
+            blocks, lazy_fallback=True
         ):
             out[base : base + len(block_out)] = block_out
+        if not lazy_fallback:
+            out = [o.result() if isinstance(o, Future) else o for o in out]
         return out
 
     def search_stream(self, blocks, lazy_fallback: bool = False,
@@ -586,13 +593,24 @@ class DeviceSearchEngine:
         entries come back as concurrent.futures.Future objects when
         lazy_fallback (resolved on the engine's fallback pool).
 
+        Escalated reads first re-run as device RETRY blocks (same compiled
+        shapes, so no recompile): a read that merely exhausted the shared
+        L*S step budget in a full block gets ~R/|retry| times more budget
+        in a batch of escalatees, which is orders of magnitude cheaper
+        than the exact host fallback (~ms/read; at genome scale ~24
+        ms/read).  Only reads still escalating after `retry_gens`
+        device passes -- or too few to fill a worthwhile invocation --
+        take the host fallback.  Retry needs lazy_fallback (results
+        resolve when the retry invocation lands).
+
         This is the TPU-side analogue of the reference's always-busy rayon
         loop (mapping.rs:146-296): every host core works on prep/collect/
         fallback for neighbouring blocks while the chip runs the current
         one.
         """
+        import os
         from collections import deque
-        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import Future, ThreadPoolExecutor
 
         cfg = self.pool_config
         R = self.block_reads
@@ -608,14 +626,68 @@ class DeviceSearchEngine:
         run_q: deque = deque()   # (key, records, launched, t0)
         exhausted = False
 
+        retry_enabled = lazy_fallback and (
+            os.environ.get("MAPAD_RETRY_TIER", "1") != "0"
+        )
+        retry_gens = int(os.environ.get("MAPAD_RETRY_GENS", "2"))
+        # below this, one more device invocation costs more than the host
+        # fallback pool clearing the stragglers
+        retry_min = int(
+            os.environ.get("MAPAD_RETRY_MIN", str(self.pool_config.lanes // 4))
+        )
+        # mid-stream trigger: launch a retry block once this many
+        # escalatees accumulated (default: a full block).  Smaller values
+        # overlap retries with the remaining input stream at the cost of
+        # more invocations.
+        retry_block = int(os.environ.get("MAPAD_RETRY_BLOCK", str(R)))
+        retry_buf: list = []  # (Future, record, gen)
+        _RETRY = object()  # sentinel key: internal block, never yielded
+
+        def fb_submit(rec, stash_i, stash, fut=None):
+            f = fb_pool.submit(self._fallback_value, [rec], 0,
+                               self._stash_row(stash, stash_i))
+            if fut is None:
+                return f
+            # chain the fallback result into the caller-visible future
+            def _done(src, dst=fut):
+                exc = src.exception()
+                if exc is not None:
+                    dst.set_exception(exc)
+                else:
+                    dst.set_result(src.result())
+            f.add_done_callback(_done)
+            return fut
+
         def refill_prep():
             nonlocal exhausted
             # 1 prep running + 1 queued behind it keeps the prep thread busy
-            while not exhausted and len(prep_q) < 2:
+            while len(prep_q) < 2:
+                # a full retry block is ready work: prefer it over new input
+                # once enough escalatees accumulated, and flush stragglers
+                # when the input and pipeline have drained
+                if retry_enabled and retry_buf and (
+                    len(retry_buf) >= retry_block
+                    or (exhausted and not prep_q and not run_q
+                        and len(retry_buf) >= retry_min)
+                ):
+                    take = retry_buf[:R]
+                    del retry_buf[:R]
+                    recs = [t[1] for t in take]
+                    prep_q.append(
+                        ((_RETRY, take), recs,
+                         self._prep_exec.submit(
+                             self._prep_block, recs, R, cfg))
+                    )
+                    self._stats["retried"] = (
+                        self._stats.get("retried", 0) + len(take)
+                    )
+                    continue
+                if exhausted:
+                    break
                 nxt = next(it, None)
                 if nxt is None:
                     exhausted = True
-                    break
+                    continue
                 key, recs = nxt
                 prep_q.append(
                     (key, recs,
@@ -630,17 +702,72 @@ class DeviceSearchEngine:
                 run_q.append((key, recs, launched))
                 refill_prep()
             if not run_q:
+                if retry_buf:  # too few for a retry block: host fallback
+                    for fut, rec, _gen in retry_buf:
+                        self._stats["oracle"] += 1
+                        fb_submit(rec, None, None, fut)
+                    retry_buf.clear()
                 break
             key, recs, launched = run_q.popleft()
             out = [None] * len(recs)
+            abandoned: set = set()
             escalated = self._collect_pool(recs, launched, out, 0,
-                                           launched[2])
-            self._stats["oracle"] += len(escalated)
+                                           launched[2], abandoned)
             stash = launched[3]
+
+            def retryable(i, rec, gen):
+                # abandons exhausted their PER-READ step cap; the same
+                # config would abandon them again, so only budget-starved
+                # (unfinished/undispatched/overflow) reads re-run on device
+                return (
+                    retry_enabled and gen < retry_gens
+                    and i not in abandoned
+                    and 0 < len(rec.sequence) <= cfg.max_len
+                )
+
+            if isinstance(key, tuple) and key and key[0] is _RETRY:
+                # retry block: resolve the placeholder futures
+                take = key[1]
+                for j, (fut, rec, gen) in enumerate(take):
+                    if j in escalated:
+                        if retryable(j, rec, gen):
+                            retry_buf.append((fut, rec, gen + 1))
+                        else:
+                            self._stats["oracle"] += 1
+                            fb_submit(rec, j, stash, fut)
+                    else:
+                        fut.set_result(out[j])
+                continue
             for i in escalated:
-                fut = fb_pool.submit(self._fallback_value, recs, i, stash)
-                out[i] = fut if lazy_fallback else fut.result()
+                rec = recs[i]
+                if retryable(i, rec, 0):
+                    fut = Future()
+                    retry_buf.append((fut, rec, 1))
+                    out[i] = fut
+                else:
+                    self._stats["oracle"] += 1
+                    fut = fb_submit(rec, i, stash)
+                    out[i] = fut if lazy_fallback else fut.result()
             yield key, out
+
+    @staticmethod
+    def _stash_row(stash, i):
+        """Single-read view of a block prep stash (index 0) for the
+        fallback path, so fallbacks reuse the block's LUT/penalty rows."""
+        if stash is None or i is None:
+            return None
+        return dict(
+            pattern_rank=stash["pattern_rank"][i : i + 1],
+            pattern_code=stash["pattern_code"][i : i + 1],
+            n=stash["n"][i : i + 1],
+            score_lut=stash["score_lut"][i : i + 1],
+            pen=stash["pen"][i : i + 1],
+            split=stash["split"][i : i + 1],
+            scale=stash["scale"][i : i + 1],
+            thresh=stash["thresh"][i : i + 1],
+            repr_mm=stash["repr_mm"][i : i + 1],
+            max_len=stash["max_len"],
+        )
 
     def _fallback_value(self, records, i, stash=None):
         return self._fallback_one(records, i, stash)[1]
@@ -784,7 +911,8 @@ class DeviceSearchEngine:
         assert off == flat.size
         return type(handle)(*out)
 
-    def _collect_pool(self, chunk, handle, out, base, t0):
+    def _collect_pool(self, chunk, handle, out, base, t0,
+                      abandoned_out: set | None = None):
         t_fetch = time.perf_counter()
         if isinstance(handle, tuple) and not hasattr(handle, "_fields"):
             # launched tuple from _launch_block: the pack was dispatched at
@@ -852,8 +980,13 @@ class DeviceSearchEngine:
             valid = (cr >= 0) & (cr < len(chunk))
             ab = result.c_abandon[:n_chains] & valid
             pre = len(escalated)
-            escalated.update(np.unique(cr[ab]).tolist())
+            ab_reads = np.unique(cr[ab]).tolist()
+            escalated.update(ab_reads)
             esc_why["abandon"] += len(escalated) - pre
+            if abandoned_out is not None:
+                # per-read step-cap exhaustion: a same-config retry would
+                # hit the same cap, so these go straight to host fallback
+                abandoned_out.update(int(r) for r in ab_reads)
             idx = np.flatnonzero(valid & ~result.c_abandon[:n_chains])
             ordk = idx[np.lexsort((-result.c_slot[idx], cr[idx]))]
             crs = cr[ordk]

@@ -243,6 +243,38 @@ def test_pool_abandon_escalates_to_exact_fallback(bench_fixture):
         assert_hits_equal(hits, oracle_hits, read[:16])
 
 
+def test_retry_tier_resolves_budget_starved_reads(bench_fixture):
+    """Reads that merely exhaust the SHARED L*S step budget re-run in a
+    device retry block (each gets a much larger budget share) instead of
+    the exact host fallback; output must stay oracle-identical and the
+    host-fallback count ("oracle" stat) must shrink vs total escalations."""
+    from mapad_tpu.ops.search_pool import PoolConfig
+
+    ref, fmd, _ = bench_fixture
+    params = _adna_params()
+    reads = [
+        l.strip().encode()
+        for l in open(os.path.join(HERE, "data", "bench_reads.txt"))
+    ] * 3
+    # starve the shared budget: many reads stay unfinished/undispatched in
+    # the primary block, but a retry block (same shapes) finishes them
+    cfg = PoolConfig(max_len=128, lanes=8, total_steps=192,
+                     read_step_cap=192, max_chains=1024,
+                     compute_forward_part=False)
+    engine = DeviceSearchEngine(fmd, params, mode="pool", pool_config=cfg)
+    engine.block_reads = 64
+    results = engine.search_chunk(_records(reads))
+    assert engine._stats["escalated"] > 0
+    assert engine._stats.get("retried", 0) > 0
+    # at least some escalatees were resolved on device (host fallbacks <
+    # total first-pass escalations)
+    assert engine._stats["oracle"] < engine._stats["esc_why"]["unfinished"] \
+        + engine._stats["esc_why"]["abandon"] + 1
+    for (hits, _dur), read in zip(results, reads):
+        oracle_hits = oracle_search(read, [40] * len(read), params, fmd)
+        assert_hits_equal(hits, oracle_hits, read[:16])
+
+
 def test_overlong_reads_escalate(bench_fixture):
     # reads longer than max_len cannot enter the lanes; they must still be
     # mapped exactly via the native/host fallback

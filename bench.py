@@ -284,9 +284,14 @@ def main():
 
     # Warmup (compile).  Include the longest read so the warmup block's
     # pattern-axis size M (rounded to 16) matches the timed passes' --
-    # otherwise the first timed pass pays a fresh kernel compile
+    # otherwise the first timed pass pays a fresh kernel compile.
+    # engine.warm also compiles the deep-tier config when enabled.
     longest = max(reads, key=lambda r: len(r.sequence))
-    engine.search_chunk(reads[: LANES - 1] + [longest])
+    warm_reads = reads[: LANES - 1] + [longest]
+    if hasattr(engine, "warm"):
+        engine.warm(warm_reads)
+    else:
+        engine.search_chunk(warm_reads)
 
     if os.environ.get("BENCH_SEARCH_ONLY"):
         # legacy mode: search stage only (round-1 numbers were this)

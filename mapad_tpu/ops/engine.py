@@ -636,12 +636,33 @@ class DeviceSearchEngine:
             os.environ.get("MAPAD_RETRY_MIN", str(self.pool_config.lanes // 4))
         )
         # mid-stream trigger: launch a retry block once this many
-        # escalatees accumulated (default: a full block).  Smaller values
-        # overlap retries with the remaining input stream at the cost of
-        # more invocations.
-        retry_block = int(os.environ.get("MAPAD_RETRY_BLOCK", str(R)))
+        # escalatees accumulated.  Must be SMALL relative to R: the
+        # pipeline's postprocess waits on each block's escalatee futures,
+        # so retries have to resolve shortly after their block or the
+        # whole conversion stage backs up into a serial tail.  Small
+        # retry blocks are also cheap -- the pool loop stops early once
+        # its few reads finish.
+        retry_block = int(os.environ.get("MAPAD_RETRY_BLOCK", str(R // 8)))
         retry_buf: list = []  # (Future, record, gen)
         _RETRY = object()  # sentinel key: internal block, never yielded
+
+        # deep tier: a second device tier whose config REMOVES the
+        # per-read step cap (cap = the whole L*S budget), so deep reads
+        # (primary-cap abandons and heavy unfinished) stay on device.  At
+        # genome scale the exact host fallback costs ~24 ms/read against
+        # the multi-GB FMD (hg19 e2e measured 269 reads/s that way), so
+        # big (int64) mode enables this by default; MAPAD_DEEP_TIER=1/0
+        # forces.  Deep blocks are kept partially filled (R//4 by
+        # default) so each deep read gets a large budget share.
+        deep_tier = retry_enabled and self.deep_tier_enabled()
+        cfg_deep = self._deep_config(cfg)
+        deep_take = int(
+            os.environ.get(
+                "MAPAD_DEEP_BLOCK", str(max(retry_min, R // 4))
+            )
+        )
+        deep_buf: list = []  # (Future, record)
+        _DEEP = object()  # sentinel key: internal deep block
 
         def fb_submit(rec, stash_i, stash, fut=None):
             f = fb_pool.submit(self._fallback_value, [rec], 0,
@@ -662,13 +683,13 @@ class DeviceSearchEngine:
             nonlocal exhausted
             # 1 prep running + 1 queued behind it keeps the prep thread busy
             while len(prep_q) < 2:
-                # a full retry block is ready work: prefer it over new input
-                # once enough escalatees accumulated, and flush stragglers
-                # when the input and pipeline have drained
+                # an accumulated retry/deep block is ready work: prefer it
+                # over new input, and flush stragglers when the input and
+                # pipeline have drained
+                drained = exhausted and not prep_q and not run_q
                 if retry_enabled and retry_buf and (
                     len(retry_buf) >= retry_block
-                    or (exhausted and not prep_q and not run_q
-                        and len(retry_buf) >= retry_min)
+                    or (drained and len(retry_buf) >= retry_min)
                 ):
                     take = retry_buf[:R]
                     del retry_buf[:R]
@@ -680,6 +701,22 @@ class DeviceSearchEngine:
                     )
                     self._stats["retried"] = (
                         self._stats.get("retried", 0) + len(take)
+                    )
+                    continue
+                if deep_tier and deep_buf and (
+                    len(deep_buf) >= deep_take
+                    or (drained and len(deep_buf) >= retry_min)
+                ):
+                    take = deep_buf[:deep_take]
+                    del deep_buf[:deep_take]
+                    recs = [t[1] for t in take]
+                    prep_q.append(
+                        ((_DEEP, take), recs,
+                         self._prep_exec.submit(
+                             self._prep_block, recs, R, cfg_deep))
+                    )
+                    self._stats["deep_retried"] = (
+                        self._stats.get("deep_retried", 0) + len(take)
                     )
                     continue
                 if exhausted:
@@ -702,53 +739,114 @@ class DeviceSearchEngine:
                 run_q.append((key, recs, launched))
                 refill_prep()
             if not run_q:
-                if retry_buf:  # too few for a retry block: host fallback
-                    for fut, rec, _gen in retry_buf:
-                        self._stats["oracle"] += 1
-                        fb_submit(rec, None, None, fut)
-                    retry_buf.clear()
+                # too few for another device block: host fallback
+                for fut, rec, _gen in retry_buf:
+                    self._stats["oracle"] += 1
+                    fb_submit(rec, None, None, fut)
+                retry_buf.clear()
+                for fut, rec, _gen in deep_buf:
+                    self._stats["oracle"] += 1
+                    fb_submit(rec, None, None, fut)
+                deep_buf.clear()
                 break
             key, recs, launched = run_q.popleft()
             out = [None] * len(recs)
             abandoned: set = set()
-            escalated = self._collect_pool(recs, launched, out, 0,
-                                           launched[2], abandoned)
+            deep: set = set()
+            tier = (
+                key[0] if isinstance(key, tuple) and key
+                and key[0] in (_RETRY, _DEEP) else None
+            )
+            escalated = self._collect_pool(
+                recs, launched, out, 0, launched[2], abandoned, deep,
+                count_stats=tier is None,
+            )
             stash = launched[3]
 
             def retryable(i, rec, gen):
-                # abandons exhausted their PER-READ step cap; the same
-                # config would abandon them again, so only budget-starved
-                # (unfinished/undispatched/overflow) reads re-run on device
+                # abandons exhausted their PER-READ step cap (the same
+                # config would abandon them again) and deep reads already
+                # consumed most of it (retry would mostly re-spend it);
+                # both go to the deep tier (uncapped per-read budget) when
+                # enabled, else to the host fallback NOW so the work
+                # overlaps the stream.  Only budget-starved reads
+                # (unfinished early / undispatched / chain overflow)
+                # re-run on the primary-config retry tier.
                 return (
                     retry_enabled and gen < retry_gens
-                    and i not in abandoned
+                    and i not in abandoned and i not in deep
                     and 0 < len(rec.sequence) <= cfg.max_len
                 )
 
-            if isinstance(key, tuple) and key and key[0] is _RETRY:
-                # retry block: resolve the placeholder futures
+            def route(i, rec, gen, fut=None):
+                """Send one escalated read to retry/deep/host; returns the
+                future resolving to its (hits, duration)."""
+                if retryable(i, rec, gen):
+                    fut = fut or Future()
+                    retry_buf.append((fut, rec, gen + 1))
+                    return fut
+                if tier is not _DEEP and deep_tier and (
+                    0 < len(rec.sequence) <= cfg.max_len
+                ):
+                    fut = fut or Future()
+                    deep_buf.append((fut, rec, gen + 1))
+                    return fut
+                self._stats["oracle"] += 1
+                return fb_submit(rec, i, stash, fut)
+
+            if tier is not None:
+                # retry/deep block: resolve the placeholder futures
                 take = key[1]
                 for j, (fut, rec, gen) in enumerate(take):
                     if j in escalated:
-                        if retryable(j, rec, gen):
-                            retry_buf.append((fut, rec, gen + 1))
-                        else:
-                            self._stats["oracle"] += 1
-                            fb_submit(rec, j, stash, fut)
+                        route(j, rec, gen, fut)
                     else:
                         fut.set_result(out[j])
                 continue
             for i in escalated:
-                rec = recs[i]
-                if retryable(i, rec, 0):
-                    fut = Future()
-                    retry_buf.append((fut, rec, 1))
-                    out[i] = fut
-                else:
-                    self._stats["oracle"] += 1
-                    fut = fb_submit(rec, i, stash)
-                    out[i] = fut if lazy_fallback else fut.result()
+                fut = route(i, recs[i], 0)
+                out[i] = fut if lazy_fallback else fut.result()
             yield key, out
+
+    def deep_tier_enabled(self) -> bool:
+        """Deep tier default: ON for big (int64 / genome-scale) indexes,
+        where the host fallback walks a multi-GB FMD at ~24 ms/read; OFF
+        for small indexes where the host pool clears the deep tail more
+        cheaply than extra device invocations.  MAPAD_DEEP_TIER=1/0
+        forces either way."""
+        import os
+
+        env = os.environ.get("MAPAD_DEEP_TIER")
+        if env is not None:
+            return env == "1"
+        return bool(getattr(self.device_index, "big", False))
+
+    def _deep_config(self, cfg: "PoolConfig | None" = None) -> "PoolConfig":
+        import os
+
+        cfg = cfg or self.pool_config
+        return cfg._replace(
+            read_step_cap=int(
+                os.environ.get("MAPAD_DEEP_CAP", str(cfg.total_steps))
+            )
+        )
+
+    def warm(self, records):
+        """Compile-warm every config a production run can hit: the primary
+        pool config via a normal chunk, and the deep tier's (different
+        read_step_cap => different compiled kernel) when it is enabled, so
+        the first real deep block does not pay a compile mid-stream."""
+        self.search_chunk(records)
+        if self.mode == "pool" and self.deep_tier_enabled():
+            prepped = self._prep_block(
+                records[: self.block_reads], self.block_reads,
+                self._deep_config(),
+            )
+            launched = self._launch_block(prepped, self._params())
+            sub = records[: self.block_reads]
+            out = [None] * len(sub)
+            self._collect_pool(sub, launched, out, 0, launched[2],
+                               count_stats=False)
 
     @staticmethod
     def _stash_row(stash, i):
@@ -912,7 +1010,9 @@ class DeviceSearchEngine:
         return type(handle)(*out)
 
     def _collect_pool(self, chunk, handle, out, base, t0,
-                      abandoned_out: set | None = None):
+                      abandoned_out: set | None = None,
+                      deep_out: set | None = None,
+                      count_stats: bool = True):
         t_fetch = time.perf_counter()
         if isinstance(handle, tuple) and not hasattr(handle, "_fields"):
             # launched tuple from _launch_block: the pack was dispatched at
@@ -951,7 +1051,10 @@ class DeviceSearchEngine:
         esc_why = self._stats.setdefault(
             "esc_why", {"overlong": 0, "overflow": 0, "unfinished": 0,
                         "undispatched": 0, "abandon": 0}
-        )
+        ) if count_stats else {
+            "overlong": 0, "overflow": 0, "unfinished": 0,
+            "undispatched": 0, "abandon": 0,
+        }
         esc_why["overlong"] += len(escalated)
         n_chains = int(result.n_chains)
         if n_chains > result.c_read.shape[0]:
@@ -1031,9 +1134,34 @@ class DeviceSearchEngine:
             "pool decode: %.0fms for %d chains",
             (time.perf_counter() - t_dec) * 1e3, n_chains,
         )
-        self._stats["device_lanes"] += len(chunk)
-        self._stats["escalated"] += len(escalated)
-        self._stats["batches"] += 1
+        if deep_out is not None:
+            import os
+
+            # escalated reads that already consumed most of their per-read
+            # step cap are DEEP: a same-config retry would spend a full cap
+            # again, and the host fallback redoes them from scratch either
+            # way, so submitting them to the fallback pool NOW keeps that
+            # work overlapped with the stream instead of a serial tail
+            frac = float(os.environ.get("MAPAD_RETRY_DEEP_FRAC", "0.5"))
+            thr = max(1, int(self.pool_config.read_step_cap * frac))
+            if result.read_steps is not None and result.read_steps.size:
+                rs_a = np.asarray(result.read_steps)
+                deep_out.update(
+                    i for i in escalated
+                    if i < rs_a.shape[0] and int(rs_a[i]) >= thr
+                )
+            else:
+                # no per-read step counts: treat actively-unfinished lanes
+                # as deep (they ran the whole invocation)
+                deep_out.update(
+                    int(rid)
+                    for rid in result.lane_read[result.lane_unfinished]
+                    if rid < len(chunk)
+                )
+        if count_stats:
+            self._stats["device_lanes"] += len(chunk)
+            self._stats["escalated"] += len(escalated)
+            self._stats["batches"] += 1
         return escalated
 
     def _packed_lane_hits(self, result, lane, split):
@@ -1379,6 +1507,9 @@ class HybridSearchEngine:
     @property
     def block_reads(self) -> int:
         return self.device.block_reads
+
+    def warm(self, records):
+        self.device.warm(records)
 
     def search_stream(self, blocks, lazy_fallback: bool = False):
         """Streaming hybrid: each block's tail (1-p fraction) runs on the

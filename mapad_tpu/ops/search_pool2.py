@@ -626,9 +626,13 @@ def k_mismatch_search_pool2(
         # analogue is steps x measured step time)
         ev = fin_log.reshape(-1)
         rid = jnp.where(ev >= 0, ev // 4096, R)
-        read_steps = (
-            jnp.full((R + 1,), -1, i32).at[rid].max(ev % 4096)[:R]
-        )
+        read_steps = jnp.full((R + 1,), -1, i32).at[rid].max(ev % 4096)
+        # unfinished lanes report the steps consumed SO FAR by their held
+        # read: the engine's retry policy uses this to split budget-starved
+        # escalatees (device retry) from deep ones (host fallback); XD
+        # timing only reads finished (non-escalated) entries either way
+        ur = jnp.where(lane_unfinished, jnp.clip(read_id, 0, R), R)
+        read_steps = read_steps.at[ur].max(lane_age)[:R]
     else:
         read_steps = jnp.full((R,), -1, i32)
 

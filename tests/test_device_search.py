@@ -267,9 +267,40 @@ def test_retry_tier_resolves_budget_starved_reads(bench_fixture):
     assert engine._stats["escalated"] > 0
     assert engine._stats.get("retried", 0) > 0
     # at least some escalatees were resolved on device (host fallbacks <
-    # total first-pass escalations)
-    assert engine._stats["oracle"] < engine._stats["esc_why"]["unfinished"] \
-        + engine._stats["esc_why"]["abandon"] + 1
+    # total first-pass escalations); deep reads (consumed most of their
+    # per-read cap) intentionally DO take the host fallback
+    ew = engine._stats["esc_why"]
+    assert engine._stats["oracle"] < (
+        ew["unfinished"] + ew["undispatched"] + ew["abandon"]
+    )
+    for (hits, _dur), read in zip(results, reads):
+        oracle_hits = oracle_search(read, [40] * len(read), params, fmd)
+        assert_hits_equal(hits, oracle_hits, read[:16])
+
+
+def test_deep_tier_resolves_abandons_on_device(bench_fixture, monkeypatch):
+    """With the deep tier on, per-read-cap abandons re-run in a deep block
+    whose config removes the cap (cap = whole budget) instead of taking
+    the host fallback; output stays oracle-identical."""
+    from mapad_tpu.ops.search_pool import PoolConfig
+
+    monkeypatch.setenv("MAPAD_DEEP_TIER", "1")
+    ref, fmd, _ = bench_fixture
+    params = _adna_params()
+    reads = [
+        l.strip().encode()
+        for l in open(os.path.join(HERE, "data", "bench_reads.txt"))
+    ]
+    # tiny per-read cap: the deep read(s) abandon in the primary block
+    cfg = PoolConfig(max_len=128, lanes=8, total_steps=4096,
+                     read_step_cap=64, max_chains=1024,
+                     compute_forward_part=False)
+    engine = DeviceSearchEngine(fmd, params, mode="pool", pool_config=cfg)
+    engine.block_reads = 64
+    results = engine.search_chunk(_records(reads))
+    assert engine._stats.get("deep_retried", 0) > 0
+    # the deep config (cap=4096) finishes what the primary cap=64 abandons
+    assert engine._stats["oracle"] < engine._stats["esc_why"]["abandon"]
     for (hits, _dur), read in zip(results, reads):
         oracle_hits = oracle_search(read, [40] * len(read), params, fmd)
         assert_hits_equal(hits, oracle_hits, read[:16])

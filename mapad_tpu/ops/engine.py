@@ -626,8 +626,18 @@ class DeviceSearchEngine:
         run_q: deque = deque()   # (key, records, launched, t0)
         exhausted = False
 
+        # retry/deep tiers default ON only for big (genome-scale) indexes:
+        # the 4 Mbp chip sweep (tools/retry_sweep.py, ROADMAP round 4)
+        # showed every retry variant LOSES there -- the device is the
+        # scarce resource and retry invocations cost more device time than
+        # the host cores they free -- while at hg19 scale the host
+        # fallback is ~24 ms/read and the tiers win by an order of
+        # magnitude.  MAPAD_RETRY_TIER=1/0 forces.
+        env_retry = os.environ.get("MAPAD_RETRY_TIER")
         retry_enabled = lazy_fallback and (
-            os.environ.get("MAPAD_RETRY_TIER", "1") != "0"
+            env_retry == "1"
+            or (env_retry is None
+                and bool(getattr(self.device_index, "big", False)))
         )
         retry_gens = int(os.environ.get("MAPAD_RETRY_GENS", "2"))
         # below this, one more device invocation costs more than the host

@@ -243,13 +243,14 @@ def test_pool_abandon_escalates_to_exact_fallback(bench_fixture):
         assert_hits_equal(hits, oracle_hits, read[:16])
 
 
-def test_retry_tier_resolves_budget_starved_reads(bench_fixture):
+def test_retry_tier_resolves_budget_starved_reads(bench_fixture, monkeypatch):
     """Reads that merely exhaust the SHARED L*S step budget re-run in a
     device retry block (each gets a much larger budget share) instead of
     the exact host fallback; output must stay oracle-identical and the
     host-fallback count ("oracle" stat) must shrink vs total escalations."""
     from mapad_tpu.ops.search_pool import PoolConfig
 
+    monkeypatch.setenv("MAPAD_RETRY_TIER", "1")  # default-on only for big
     ref, fmd, _ = bench_fixture
     params = _adna_params()
     reads = [
@@ -284,6 +285,7 @@ def test_deep_tier_resolves_abandons_on_device(bench_fixture, monkeypatch):
     the host fallback; output stays oracle-identical."""
     from mapad_tpu.ops.search_pool import PoolConfig
 
+    monkeypatch.setenv("MAPAD_RETRY_TIER", "1")
     monkeypatch.setenv("MAPAD_DEEP_TIER", "1")
     ref, fmd, _ = bench_fixture
     params = _adna_params()

@@ -28,18 +28,18 @@ from mapad_tpu.ops.engine import DeviceSearchEngine  # noqa: E402
 from mapad_tpu.ops.search import SearchConfig  # noqa: E402
 
 DEFAULT = (
-    "retry_off:MAPAD_RETRY_TIER=0;"
-    "rb1024:MAPAD_RETRY_BLOCK=1024;"
-    "rb512:MAPAD_RETRY_BLOCK=512;"
-    "rb2048:MAPAD_RETRY_BLOCK=2048;"
-    "rb1024_f25:MAPAD_RETRY_BLOCK=1024,MAPAD_RETRY_DEEP_FRAC=0.25;"
-    "rb1024_deep:MAPAD_RETRY_BLOCK=1024,MAPAD_DEEP_TIER=1,MAPAD_DEEP_BLOCK=1024"
+    "baseline:;"
+    "device_bid:MAPAD_HOST_BID=0;"
+    "cap2048:MAPAD_POOL_CAP=2048;"
+    "cap2048_retry:MAPAD_POOL_CAP=2048,MAPAD_RETRY_TIER=1,"
+    "MAPAD_RETRY_BLOCK=1024,MAPAD_RETRY_DEEP_FRAC=0.25"
 )
 
 KNOBS = [
     "MAPAD_RETRY_TIER", "MAPAD_RETRY_BLOCK", "MAPAD_RETRY_DEEP_FRAC",
     "MAPAD_DEEP_TIER", "MAPAD_DEEP_BLOCK", "MAPAD_RETRY_GENS",
-    "MAPAD_RETRY_MIN", "MAPAD_DEEP_CAP",
+    "MAPAD_RETRY_MIN", "MAPAD_DEEP_CAP", "MAPAD_POOL_CAP",
+    "MAPAD_POOL_STEPS", "MAPAD_HOST_BID",
 ]
 
 
@@ -60,17 +60,10 @@ def main():
     config = SearchConfig(max_len=128, hit_cap=24, compute_forward_part=False)
     from mapad_tpu.map import native_post
 
-    engine = DeviceSearchEngine(
-        index.fmd, params, lanes=bench.LANES, config=config,
-        tiers=((2048, None),), packed_hits=native_post.available(),
-    )
     fastq = bench.reads_fastq(index, bench.N_READS)
     reads = bench.load_reads(fastq)
     longest = max(reads, key=lambda r: len(r.sequence))
     warm = reads[: bench.LANES - 1] + [longest]
-    os.environ["MAPAD_DEEP_TIER"] = "1"  # warm the deep config too
-    engine.warm(warm)
-    del os.environ["MAPAD_DEEP_TIER"]
 
     from mapad_tpu.io.bam import BamReader
     from mapad_tpu.map import pipeline as pl_mod
@@ -87,12 +80,15 @@ def main():
         for kv in filter(None, envs.split(",")):
             k, _, v = kv.partition("=")
             os.environ[k] = v
-        for k in ("escalated", "oracle", "device_lanes"):
-            engine._stats[k] = 0
-        engine._stats["fb_secs"] = 0.0
-        engine._stats.pop("retried", None)
-        engine._stats.pop("deep_retried", None)
-        engine._stats.pop("esc_why", None)
+        # engine-level knobs (MAPAD_POOL_CAP/STEPS, lanes) are read at
+        # construction: rebuild per config.  Same-shape configs hit the
+        # in-process jit cache; a CAP change costs one ~30-70 s recompile
+        # during warm, outside the timed passes.
+        engine = DeviceSearchEngine(
+            index.fmd, params, lanes=bench.LANES, config=config,
+            tiers=((2048, None),), packed_hits=native_post.available(),
+        )
+        engine.warm(warm)
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()

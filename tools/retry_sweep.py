@@ -32,7 +32,9 @@ DEFAULT = (
     "device_bid:MAPAD_HOST_BID=0;"
     "cap2048:MAPAD_POOL_CAP=2048;"
     "cap2048_retry:MAPAD_POOL_CAP=2048,MAPAD_RETRY_TIER=1,"
-    "MAPAD_RETRY_BLOCK=1024,MAPAD_RETRY_DEEP_FRAC=0.25"
+    "MAPAD_RETRY_BLOCK=1024,MAPAD_RETRY_DEEP_FRAC=0.25;"
+    "hybrid:ENGINE=hybrid;"
+    "hybrid_bid0:ENGINE=hybrid,MAPAD_HOST_BID=0"
 )
 
 KNOBS = [
@@ -84,10 +86,19 @@ def main():
         # construction: rebuild per config.  Same-shape configs hit the
         # in-process jit cache; a CAP change costs one ~30-70 s recompile
         # during warm, outside the timed passes.
-        engine = DeviceSearchEngine(
-            index.fmd, params, lanes=bench.LANES, config=config,
-            tiers=((2048, None),), packed_hits=native_post.available(),
-        )
+        kind = os.environ.pop("ENGINE", "device")
+        if kind == "hybrid":
+            from mapad_tpu.ops.engine import HybridSearchEngine
+
+            engine = HybridSearchEngine(
+                index.fmd, params, lanes=bench.LANES, config=config,
+                tiers=((2048, None),), packed_hits=native_post.available(),
+            )
+        else:
+            engine = DeviceSearchEngine(
+                index.fmd, params, lanes=bench.LANES, config=config,
+                tiers=((2048, None),), packed_hits=native_post.available(),
+            )
         engine.warm(warm)
         best = float("inf")
         for _ in range(repeats):

@@ -117,7 +117,7 @@ def main():
             f"mapped={n_mapped} esc={s['escalated']} "
             f"retried={s.get('retried', 0)}+{s.get('deep_retried', 0)}deep "
             f"host={s['oracle']} fb={s.get('fb_secs', 0.0):.1f}core-s "
-            f"why={s.get('esc_why')}",
+            f"p={getattr(engine, '_p', 1.0):.2f} why={s.get('esc_why')}",
             flush=True,
         )
         assert n_mapped == baseline_counts, "mapped-count drift across configs"

@@ -58,13 +58,20 @@ def run(
     position_seed: int = 0,
     cmdline: str | None = None,
     threads: int = 1,
+    index=None,
 ):
-    """Load index parts and launch the mapping process (mapping.rs:57-125)."""
+    """Load index parts and launch the mapping process (mapping.rs:57-125).
+
+    `index`: a preloaded LoadedIndex to reuse across runs (the reference
+    loads once per process, mapping.rs:75-90; callers mapping several
+    inputs against one genome -- or benchmarking repeat passes -- skip
+    the multi-minute genome-scale reload)."""
     if reads_path != "-" and not os.path.exists(reads_path):
         raise MapadError("The given input file could not be found")
 
-    logger.info("Load index")
-    index = load_index(reference_path)
+    if index is None:
+        logger.info("Load index")
+        index = load_index(reference_path)
     mb = alignment_parameters.mismatch_bound
     if hasattr(mb, "__str__") and type(mb).__str__ is not object.__str__:
         logger.debug("Allowed mismatches:\n%s", mb)

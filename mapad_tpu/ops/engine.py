@@ -671,7 +671,8 @@ class DeviceSearchEngine:
                 "MAPAD_DEEP_BLOCK", str(max(retry_min, R // 4))
             )
         )
-        deep_buf: list = []  # (Future, record)
+        deep_gens = int(os.environ.get("MAPAD_DEEP_GENS", "3"))
+        deep_buf: list = []  # (Future, record, gen)
         _DEEP = object()  # sentinel key: internal deep block
 
         def fb_submit(rec, stash_i, stash, fut=None):
@@ -795,7 +796,11 @@ class DeviceSearchEngine:
                     fut = fut or Future()
                     retry_buf.append((fut, rec, gen + 1))
                     return fut
-                if tier is not _DEEP and deep_tier and (
+                # deep blocks may re-enter the deep tier up to deep_gens
+                # passes: each pass carries fewer survivors, so the budget
+                # share per read grows geometrically and only the true
+                # monster tail reaches the host
+                if deep_tier and gen < deep_gens and (
                     0 < len(rec.sequence) <= cfg.max_len
                 ):
                     fut = fut or Future()

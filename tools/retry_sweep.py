@@ -75,6 +75,13 @@ def main():
     repeats = int(os.environ.get("BENCH_REPEATS", 2))
     baseline_counts = None
 
+    # knobs read at engine CONSTRUCTION: a config touching these (or
+    # ENGINE=) forces a rebuild; everything else is read per call, so the
+    # engine (and its staged occ rows -- 3.4 GB at hg19 scale) is reused
+    BUILD_KNOBS = {"MAPAD_POOL_CAP", "MAPAD_POOL_STEPS"}
+    engine = None
+    engine_sig = None
+
     for spec in os.environ.get("CONFIGS", DEFAULT).split(";"):
         name, _, envs = spec.partition(":")
         for k in KNOBS:
@@ -82,30 +89,42 @@ def main():
         for kv in filter(None, envs.split(",")):
             k, _, v = kv.partition("=")
             os.environ[k] = v
-        # engine-level knobs (MAPAD_POOL_CAP/STEPS, lanes) are read at
-        # construction: rebuild per config.  Same-shape configs hit the
-        # in-process jit cache; a CAP change costs one ~30-70 s recompile
-        # during warm, outside the timed passes.
         kind = os.environ.pop("ENGINE", "device")
-        if kind == "hybrid":
-            from mapad_tpu.ops.engine import HybridSearchEngine
+        sig = (kind,) + tuple(
+            os.environ.get(k) for k in sorted(BUILD_KNOBS)
+        )
+        if engine is None or sig != engine_sig:
+            if kind == "hybrid":
+                from mapad_tpu.ops.engine import HybridSearchEngine
 
-            engine = HybridSearchEngine(
-                index.fmd, params, lanes=bench.LANES, config=config,
-                tiers=((2048, None),), packed_hits=native_post.available(),
-            )
-        else:
-            engine = DeviceSearchEngine(
-                index.fmd, params, lanes=bench.LANES, config=config,
-                tiers=((2048, None),), packed_hits=native_post.available(),
-            )
+                engine = HybridSearchEngine(
+                    index.fmd, params, lanes=bench.LANES, config=config,
+                    tiers=((2048, None),),
+                    packed_hits=native_post.available(),
+                )
+            else:
+                engine = DeviceSearchEngine(
+                    index.fmd, params, lanes=bench.LANES, config=config,
+                    tiers=((2048, None),),
+                    packed_hits=native_post.available(),
+                )
+            engine_sig = sig
+        # warm under THIS config's env: per-call knobs like MAPAD_HOST_BID
+        # select differently-compiled kernel variants (cache hit when
+        # already compiled)
         engine.warm(warm)
+        stats = getattr(engine, "_stats")
+        for k in ("escalated", "oracle", "device_lanes"):
+            stats[k] = 0
+        stats["fb_secs"] = 0.0
+        for k in ("retried", "deep_retried", "esc_why"):
+            stats.pop(k, None)
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
             pl_mod.run(fastq, os.path.join(bench.CACHE,
                        f"genome_{bench.GENOME_SIZE}_hard"), out_bam, True,
-                       params, engine=engine, threads=threads)
+                       params, engine=engine, threads=threads, index=index)
             best = min(best, time.perf_counter() - t0)
         with open(out_bam, "rb") as f:
             n_mapped = sum(1 for rec in BamReader(f) if not rec.flags & 0x4)

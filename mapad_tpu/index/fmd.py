@@ -75,6 +75,7 @@ class FmdIndex:
         occ_cp: np.ndarray,
         occ_k: int,
         rank_transform: RankTransform,
+        sentinels: "np.ndarray | list | None" = None,
     ):
         self.bwt = np.asarray(bwt, dtype=np.uint8)
         self.less = np.asarray(less, dtype=np.int64)
@@ -82,7 +83,13 @@ class FmdIndex:
         self.occ_k = int(occ_k)
         self.rank_transform = rank_transform
         self.back_transform = rank_transform.back_transform()
-        sentinels = np.flatnonzero(self.bwt == 0)
+        if sentinels is None:
+            # full-BWT scan: fine for in-memory construction, but a
+            # genome-scale mmapped load would fault in the whole multi-GB
+            # array (measured 375 s at hg19 scale) -- the index bundle
+            # stores the two positions in meta.json instead
+            sentinels = np.flatnonzero(self.bwt == 0)
+        sentinels = np.asarray(sentinels, dtype=np.int64)
         self.sentinel_occ = np.zeros(2, dtype=np.int64)
         self.sentinel_occ[: min(2, len(sentinels))] = sentinels[:2]
 

@@ -316,8 +316,10 @@ def main():
         )
         # best of N passes: single-pass numbers vary +-15% run-to-run on
         # the small bench VM (thread scheduling of the prep/fallback/output
-        # stages); criterion-style min over repeats is stable
-        repeats = int(os.environ.get("BENCH_REPEATS", 2))
+        # stages), and the axon tunnel's transfer bandwidth itself swings
+        # ~20x for minutes at a time (ROADMAP round 4); criterion-style
+        # min over repeats is the stable estimator
+        repeats = int(os.environ.get("BENCH_REPEATS", 3))
         elapsed = float("inf")
         for _ in range(max(1, repeats)):
             t0 = time.perf_counter()

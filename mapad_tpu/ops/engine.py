@@ -548,7 +548,11 @@ class DeviceSearchEngine:
         the host (hg19 e2e measured 269 reads/s that way); 4096-read
         invocations give each read twice the budget.  Assignable (tests,
         tuning)."""
-        override = getattr(self, "_block_reads", None)
+        import os
+
+        override = getattr(self, "_block_reads", None) or int(
+            os.environ.get("MAPAD_BLOCK_READS", 0)
+        )
         if override:
             return max(self.pool_config.lanes, override)
         default = 4096 if self.device_index.big else 8192

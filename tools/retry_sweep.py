@@ -41,7 +41,7 @@ KNOBS = [
     "MAPAD_RETRY_TIER", "MAPAD_RETRY_BLOCK", "MAPAD_RETRY_DEEP_FRAC",
     "MAPAD_DEEP_TIER", "MAPAD_DEEP_BLOCK", "MAPAD_RETRY_GENS",
     "MAPAD_RETRY_MIN", "MAPAD_DEEP_CAP", "MAPAD_POOL_CAP",
-    "MAPAD_POOL_STEPS", "MAPAD_HOST_BID",
+    "MAPAD_POOL_STEPS", "MAPAD_HOST_BID", "MAPAD_BLOCK_READS",
 ]
 
 

@@ -309,6 +309,19 @@ def _small_pool_engine(genome, params, packed=True):
     )
 
 
+def test_integration_preloaded_index(tmp_path):
+    # pipeline.run(index=...) reuses a caller-loaded index (the reference
+    # loads once per process, mapping.rs:75-90); output must equal the
+    # path-loading run exactly.
+    from mapad_tpu.index.runtime import load_index
+
+    genome, input_bam, params = prepare(tmp_path)
+    out = tmp_path / "output_reads_preidx.bam"
+    mapping_run(str(input_bam), str(genome), str(out), False, params, None,
+                cmdline="mapad map", index=load_index(str(genome)))
+    _check_results(out)
+
+
 def test_integration_device_streaming(tmp_path):
     # Full pipeline through the streaming block driver (device pool engine
     # + prep thread + ordered writer); goldens must hold exactly.

@@ -250,6 +250,9 @@ def load_index(reference_path: str, mmap: bool = True) -> Index:
     rt = RankTransform(meta["alphabet"].encode("ascii"))
     fmd = FmdIndex(_load("bwt.npy"), _load("less.npy"), _load("occ.npy"),
                    meta["occ_k"], rt, sentinels=meta.get("sentinels"))
+    # lets DeviceFmIndex.from_host cache its packed occ rows (a ~45 min
+    # rebuild at hg19 scale) next to the bundle
+    fmd.cache_dir = d
     ssa = SampledSuffixArray(
         fmd, _load("sa_sample.npy"), meta["sa_sampling_rate"],
         _load("sa_extra_keys.npy"), _load("sa_extra_vals.npy"),

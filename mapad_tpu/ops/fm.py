@@ -63,6 +63,8 @@ class DeviceFmIndex(NamedTuple):
         spacing; checkpoints are rebuilt here at a device-friendly k.
         `big` defaults to automatic (int64 mode iff the text needs it).
         """
+        import os
+
         from ..index.fmd import compute_occ_checkpoints
 
         n = len(fmd.bwt)
@@ -72,30 +74,56 @@ class DeviceFmIndex(NamedTuple):
         k = occ_k or (128 - n_cp) * 8
         assert k % 8 == 0
         nb = (n + k - 1) // k
-        bwt = np.asarray(fmd.bwt, dtype=np.uint8)
-        padded = np.full(nb * k, 15, dtype=np.uint8)
-        padded[:n] = bwt
-        nibbles = padded.reshape(nb, k // 8, 8).astype(np.uint32)
-        packed = np.zeros((nb, k // 8), dtype=np.uint32)
-        for b in range(8):
-            packed |= nibbles[:, :, b] << (4 * b)
-        packed = packed.view(np.int32)
-        if k == fmd.occ_k:
-            cp = np.asarray(fmd.occ_cp, dtype=np.int64)
-        else:
-            alphabet_size = len(fmd.rank_transform)
-            cp = compute_occ_checkpoints(bwt, k, alphabet_size)
-        cp = cp[:nb]
-        if cp.shape[1] < 6:
-            cp = np.pad(cp, ((0, 0), (0, 6 - cp.shape[1])))
-        cp = cp[:, :6]
+
+        # the fused row build re-walks the whole BWT (checkpoints at the
+        # device k + 4-bit packing): ~45 min of host time at hg19 scale,
+        # deterministic from the bundle -- cache it next to the index
+        cache_dir = getattr(fmd, "cache_dir", None)
+        cache_path = (
+            os.path.join(
+                cache_dir, f"device_rows_k{k}{'_big' if big else ''}.npy"
+            )
+            if cache_dir
+            else None
+        )
+        rows = None
+        if cache_path and os.path.exists(cache_path):
+            cached = np.load(cache_path, mmap_mode="r")
+            if cached.shape == (nb, 128) and cached.dtype == np.int32:
+                rows = cached
+        if rows is None:
+            bwt = np.asarray(fmd.bwt, dtype=np.uint8)
+            padded = np.full(nb * k, 15, dtype=np.uint8)
+            padded[:n] = bwt
+            nibbles = padded.reshape(nb, k // 8, 8).astype(np.uint32)
+            packed = np.zeros((nb, k // 8), dtype=np.uint32)
+            for b in range(8):
+                packed |= nibbles[:, :, b] << (4 * b)
+            packed = packed.view(np.int32)
+            if k == fmd.occ_k:
+                cp = np.asarray(fmd.occ_cp, dtype=np.int64)
+            else:
+                alphabet_size = len(fmd.rank_transform)
+                cp = compute_occ_checkpoints(bwt, k, alphabet_size)
+            cp = cp[:nb]
+            if cp.shape[1] < 6:
+                cp = np.pad(cp, ((0, 0), (0, 6 - cp.shape[1])))
+            cp = cp[:, :6]
+            if big:
+                cp_lo = (cp & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+                cp_hi = (cp >> 32).astype(np.int32)
+                rows = np.concatenate([cp_lo, cp_hi, packed], axis=1)
+            else:
+                rows = np.concatenate([cp.astype(np.int32), packed], axis=1)
+            if cache_path:
+                try:
+                    tmp = cache_path + ".tmp"
+                    with open(tmp, "wb") as f:
+                        np.save(f, rows)
+                    os.replace(tmp, cache_path)
+                except OSError:  # read-only bundle: skip the cache
+                    pass
         idt = np.int64 if big else np.int32
-        if big:
-            cp_lo = (cp & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
-            cp_hi = (cp >> 32).astype(np.int32)
-            rows = np.concatenate([cp_lo, cp_hi, packed], axis=1)
-        else:
-            rows = np.concatenate([cp.astype(np.int32), packed], axis=1)
         return cls(
             rows=jnp.asarray(rows),
             less=jnp.asarray(np.asarray(fmd.less, dtype=np.int64).astype(idt)),

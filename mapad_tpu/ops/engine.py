@@ -670,9 +670,12 @@ class DeviceSearchEngine:
         # default) so each deep read gets a large budget share.
         deep_tier = retry_enabled and self.deep_tier_enabled()
         cfg_deep = self._deep_config(cfg)
+        # hg19 sweep (ROADMAP round 4): deep_block=R//8 (512 at the big-mode
+        # R=4096) beat R//4 -- smaller deep blocks give each deep read a
+        # larger budget share, resolving more of them on device
         deep_take = int(
             os.environ.get(
-                "MAPAD_DEEP_BLOCK", str(max(retry_min, R // 4))
+                "MAPAD_DEEP_BLOCK", str(max(retry_min, R // 8))
             )
         )
         deep_gens = int(os.environ.get("MAPAD_DEEP_GENS", "3"))

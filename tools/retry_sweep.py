@@ -113,7 +113,7 @@ def main():
         # select differently-compiled kernel variants (cache hit when
         # already compiled)
         engine.warm(warm)
-        stats = getattr(engine, "_stats")
+        stats = engine._stats
         for k in ("escalated", "oracle", "device_lanes"):
             stats[k] = 0
         stats["fb_secs"] = 0.0

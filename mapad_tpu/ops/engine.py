@@ -678,7 +678,10 @@ class DeviceSearchEngine:
                 "MAPAD_DEEP_BLOCK", str(max(retry_min, R // 8))
             )
         )
-        deep_gens = int(os.environ.get("MAPAD_DEEP_GENS", "3"))
+        # hg19 sweep: 2 deep passes beat 1 (resolves ~6% more on device)
+        # and 3 (a third pass re-runs monsters from scratch for nothing):
+        # 886 vs 786 vs 708 reads/s (ROADMAP round 4)
+        deep_gens = int(os.environ.get("MAPAD_DEEP_GENS", "2"))
         deep_buf: list = []  # (Future, record, gen)
         _DEEP = object()  # sentinel key: internal deep block
 

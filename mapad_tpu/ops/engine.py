@@ -61,6 +61,137 @@ def _unpack_prep(blob, R, M):
     slut = f32(blob[5 * R :].reshape(R * M, 6))
     return n, split, scale, thresh, repr_mm, slut
 
+
+# SAM quality ceiling ('~' - 33).  Blocks containing higher (malformed)
+# base qualities take the legacy full-LUT upload path instead.
+_DEV_LUT_Q = 94
+_DEV_LUT_MEMO: dict = {}
+
+
+def _build_all_lut(sdm, params, max_n: int, Q: int = _DEV_LUT_Q):
+    """Flat score-LUT + gap-penalty tables over EVERY read length 1..max_n.
+
+    Row `off[n] + (j*5 + cls)*Q + q` holds the 4 from-base scores (and the
+    Bi-D penalty element) for position j of an n-long read whose base
+    class is cls (A/C/G/T/other) at quality q -- the same pure-function
+    cells `_LutCache._build` produces per length (elementwise raw_grid on
+    the same scalar inputs, so identical f32 bits; asserted by
+    tests/test_device_search.py), all lengths in one vectorized sweep.
+    The last row is the all-zero padding row.  Returns
+    (table (TOT+1, 4) f32, pen (TOT+1,) f32, off (max_n+1,) i32)."""
+    lens = np.arange(1, max_n + 1, dtype=np.int64)
+    jflat = np.concatenate([np.arange(nn, dtype=np.int64) for nn in lens])
+    nflat = np.repeat(lens, lens)
+    shape = (len(jflat), 5, Q)
+    j = np.broadcast_to(jflat[:, None, None], shape)
+    nl = np.broadcast_to(nflat[:, None, None], shape)
+    to = np.broadcast_to(_CLS_REPR[None, :, None], shape)
+    qual = np.broadcast_to(
+        np.arange(Q, dtype=np.uint8)[None, None, :], shape
+    )
+    raw = sdm.raw_grid(j, nl, to, qual)  # (TOTJ, 5, Q, 4)
+    is_acgt = np.isin(_CLS_REPR, _ACGT)[None, :, None]
+    opt = np.where(is_acgt, raw.max(axis=3), np.float32(0.0)).astype(
+        np.float32
+    )
+    score = np.float32(raw - opt[..., None]).reshape(-1, 4)
+    table = np.vstack([score, np.zeros((1, 4), np.float32)])
+    # mismatch-only minimum penalties (same op order as _batch_luts)
+    eq = _CLS_REPR[None, :, None, None] == _ACGT[None, None, None, :]
+    mm_raw = np.where(eq, _F32_MIN, raw).max(axis=3)
+    mm_retval = np.float32(mm_raw - opt)
+    gaps_allowed = (
+        np.minimum(jflat, nflat - 1 - jflat) >= params.gap_dist_ends
+    )[:, None, None]
+    pen = np.where(
+        gaps_allowed,
+        np.maximum(mm_retval, params.penalty_gap_extend),
+        mm_retval,
+    ).astype(np.float32).reshape(-1)
+    pen = np.concatenate([pen, np.zeros(1, np.float32)])
+    base = np.zeros(max_n + 1, dtype=np.int64)
+    base[1:] = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    return table, pen, (base * (5 * Q)).astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("R", "M", "Q"))
+def _unpack_prep_lut(blob, tab, off, R, M, Q):
+    """Small-blob variant of `_unpack_prep`: the 4 score columns and the
+    pattern code are reconstructed ON DEVICE -- scores gathered from the
+    one-time `_build_all_lut` table, code == base class -- so the
+    per-invocation upload carries only consts + Bi-D + packed
+    (class, qual) u16s: 1.5 words/cell instead of 6.  The axon tunnel's
+    host<->device bandwidth is the volatile resource (it swings ~20x,
+    ROADMAP round 4); a 4x smaller blob keeps e2e throughput stable
+    through the bad-weather windows."""
+    import jax.numpy as jnp
+
+    def f32(x):
+        return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+    n = blob[:R]
+    split = blob[R : 2 * R]
+    scale = f32(blob[2 * R : 3 * R])
+    thresh = f32(blob[3 * R : 4 * R])
+    repr_mm = f32(blob[4 * R : 5 * R])
+    RM = R * M
+    bid = f32(blob[5 * R : 5 * R + RM])
+    w = blob[5 * R + RM :]
+    cq = jnp.stack([w & 0xFFFF, (w >> 16) & 0xFFFF], axis=1).reshape(RM)
+    cls = cq >> 7
+    q = cq & 0x7F
+    j = jax.lax.broadcasted_iota(jnp.int32, (R, M), 1).reshape(RM)
+    n_rows = jnp.repeat(n, M)
+    # padding cells (j >= read length) read the table's zero row, matching
+    # the host builder's masked-to-zero padding
+    idx = jnp.where(
+        j < n_rows,
+        off[n_rows] + (j * 5 + cls) * Q + q,
+        tab.shape[0] - 1,
+    )
+    score4 = tab[idx]
+    slut = jnp.concatenate(
+        [score4, cls.astype(jnp.float32)[:, None], bid[:, None]], axis=1
+    )
+    return n, split, scale, thresh, repr_mm, slut
+
+
+@functools.partial(jax.jit, static_argnames=("R", "M", "Q"))
+def _unpack_prep_full(blob, tab, pen_tab, off, R, M, Q):
+    """Device-Bi-D variant of `_unpack_prep_lut` for the big-genome path:
+    reconstructs the kernel's dense pattern_rank / pattern_code /
+    score_lut / pen inputs on device from consts + packed (class, qual)
+    u16s.  Cuts the per-invocation upload from 7 arrays (~7 words/cell +
+    a ~34 ms tunnel round trip each) to ONE blob of 0.5 words/cell."""
+    import jax.numpy as jnp
+
+    def f32(x):
+        return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+    n = blob[:R]
+    split = blob[R : 2 * R]
+    scale = f32(blob[2 * R : 3 * R])
+    thresh = f32(blob[3 * R : 4 * R])
+    repr_mm = f32(blob[4 * R : 5 * R])
+    RM = R * M
+    w = blob[5 * R :]
+    cq = jnp.stack([w & 0xFFFF, (w >> 16) & 0xFFFF], axis=1).reshape(RM)
+    cls = cq >> 7
+    q = cq & 0x7F
+    j = jax.lax.broadcasted_iota(jnp.int32, (R, M), 1).reshape(RM)
+    n_rows = jnp.repeat(n, M)
+    idx = jnp.where(
+        j < n_rows,
+        off[n_rows] + (j * 5 + cls) * Q + q,
+        tab.shape[0] - 1,
+    )
+    score_lut = tab[idx].reshape(R, M, 4)
+    pen = pen_tab[idx].reshape(R, M)
+    code = cls.reshape(R, M)
+    rank = jnp.where(cls < 4, cls + 1, 0).reshape(R, M)
+    return rank, code, n, score_lut, pen, split, scale, thresh, repr_mm
+
+
 _RANK_TABLE = np.zeros(256, dtype=np.int32)
 for _i, _c in enumerate(b"ACGT"):
     _RANK_TABLE[_c] = _i + 1
@@ -291,7 +422,7 @@ class DeviceSearchEngine:
     # --- host-side per-read preparation (exact f32 paths) ---
 
     def _prepare(self, records, max_len: int, lanes: int | None = None,
-                 host_bid: bool = False):
+                 host_bid: bool = False, dev_full: bool = False):
         """host_bid: compute the Bi-D arrays on host C++ cores and return a
         prepacked score-LUT/Bi-D table ("slut_packed", the gen-2 kernel's
         512 B-row layout) instead of uploading the per-read LUT arrays --
@@ -355,14 +486,31 @@ class DeviceSearchEngine:
         # LUT math only over real rows; padding rows are all-zero anyway
         n_real = min(len(records), L)
         pen = np.zeros((L, max_len), dtype=np.float32)
-        if host_bid:
+        import os as _os
+
+        # device-LUT mode: ship only consts + Bi-D + (class, qual) u16s and
+        # gather the score columns on device from the one-time
+        # _build_all_lut table -- 4x less tunnel traffic per invocation
+        dev_ok = (
+            self._lut_cache() is not None
+            and _os.environ.get("MAPAD_DEV_LUT", "1") != "0"
+            and max_len % 2 == 0
+            and max_len <= self.config.max_len
+            and int(quals.max(initial=0)) < _DEV_LUT_Q
+        )
+        dev_lut = host_bid and dev_ok
+        RM = L * max_len
+        if host_bid and not dev_lut:
             # allocate the one-transfer upload blob up front and fill the
             # score columns in place (saves a 16 MB array + 16 MB copy per
             # block vs building score_lut separately and packing it)
-            RM = L * max_len
             blob = np.zeros(5 * L + RM * 6, dtype=np.int32)
             packed3 = blob[5 * L :].view(np.float32).reshape(L, max_len, 6)
             score_lut = packed3[:, :, :4]
+        elif host_bid:
+            blob = np.zeros(5 * L + RM + RM // 2, dtype=np.int32)
+            packed3 = None
+            score_lut = np.zeros((L, max_len, 4), dtype=np.float32)
         else:
             blob = packed3 = None
             score_lut = np.zeros((L, max_len, 4), dtype=np.float32)
@@ -416,14 +564,33 @@ class DeviceSearchEngine:
             blob[2 * L : 3 * L] = cutoff_scale.view(np.int32)
             blob[3 * L : 4 * L] = thresh.view(np.int32)
             blob[4 * L : 5 * L] = repr_mm.view(np.int32)
-            packed3[:, :, 4] = pattern_code
+            if dev_lut:
+                cq = (
+                    (_CLS_TABLE[seqs].astype(np.uint16) << np.uint16(7))
+                    | quals
+                ).reshape(-1)
+                blob[5 * L + RM :] = cq.view(np.int32)
+            else:
+                packed3[:, :, 4] = pattern_code
             bid = bid_fut.result()
-            packed3[:, :, 5] = bid
+            if dev_lut:
+                blob[5 * L : 5 * L + RM] = (
+                    np.ascontiguousarray(bid, dtype=np.float32)
+                    .reshape(-1).view(np.int32)
+                )
+            else:
+                packed3[:, :, 5] = bid
             stash["bid"] = bid  # cost-model input for balanced sharding
             t_bid = time.perf_counter() - t_bid
             t_blob = time.perf_counter() - t_blob
             t_up = time.perf_counter()
-            parts = _unpack_prep(jnp.asarray(blob), L, max_len)
+            if dev_lut:
+                tab, _pen_tab, off = self._device_lut()
+                parts = _unpack_prep_lut(
+                    jnp.asarray(blob), tab, off, L, max_len, _DEV_LUT_Q
+                )
+            else:
+                parts = _unpack_prep(jnp.asarray(blob), L, max_len)
             logger.debug(
                 "prep split: lut %.0fms bid %.0fms blob %.0fms upload %.0fms",
                 t_lut * 1e3, t_bid * 1e3, t_blob * 1e3,
@@ -442,6 +609,35 @@ class DeviceSearchEngine:
                 repr_mm=parts[4],
                 slut_packed=parts[5],
                 _stash=stash,
+            )
+        if dev_full and dev_ok:
+            # device-Bi-D (big-genome) small-blob path: ship consts +
+            # packed (class, qual) u16s only; the kernel's dense inputs
+            # are reconstructed on device (_unpack_prep_full)
+            thresh = cutoff_thresh.copy()
+            thresh[n == 0] = np.float32(np.inf)
+            blob = np.zeros(5 * L + RM // 2, dtype=np.int32)
+            blob[:L] = n.view(np.int32)
+            blob[L : 2 * L] = split.view(np.int32)
+            blob[2 * L : 3 * L] = cutoff_scale.view(np.int32)
+            blob[3 * L : 4 * L] = thresh.view(np.int32)
+            blob[4 * L : 5 * L] = repr_mm.view(np.int32)
+            cq = (
+                (_CLS_TABLE[seqs].astype(np.uint16) << np.uint16(7))
+                | quals
+            ).reshape(-1)
+            blob[5 * L :] = cq.view(np.int32)
+            tab, pen_tab, off = self._device_lut()
+            parts = _unpack_prep_full(
+                jnp.asarray(blob), tab, pen_tab, off, L, max_len,
+                _DEV_LUT_Q,
+            )
+            return dict(
+                _stash=stash, dev_prep=True,
+                pattern_rank=parts[0], pattern_code=parts[1],
+                n=parts[2], score_lut=parts[3], pen=parts[4],
+                split=parts[5], cutoff_scale=parts[6],
+                cutoff_thresh=parts[7], repr_mm=parts[8],
             )
         return dict(
             _stash=stash,
@@ -918,13 +1114,13 @@ class DeviceSearchEngine:
         host_bid = self._host_bid_active()
         prep = self._prepare(
             [r if len(r.sequence) <= cfg.max_len else _EMPTY for r in chunk],
-            cfg.max_len, R, host_bid=host_bid,
+            cfg.max_len, R, host_bid=host_bid, dev_full=not host_bid,
         )
         logger.debug(
             "pool prep: %.0fms for %d reads (host_bid=%s)",
             (time.perf_counter() - t0) * 1e3, len(chunk), host_bid,
         )
-        if not host_bid:
+        if not host_bid and not prep.get("dev_prep"):
             # padded/empty reads must reject everything and finish
             # immediately (the packed path applies this before upload)
             n_host = np.asarray(prep["n"])
@@ -1364,6 +1560,49 @@ class DeviceSearchEngine:
                 else None
             )
         return cache
+
+    def _device_lut(self):
+        """One-time device score-LUT table + per-length offsets for the
+        small-blob prep path (`_unpack_prep_lut`).  The host build is
+        memoized across engines on the model's self-description string
+        (the table is a pure function of the difference model and the
+        length/quality ceilings)."""
+        ent = getattr(self, "_dev_lut_obj", None)
+        if ent is None:
+            import jax.numpy as jnp
+
+            sdm = self.parameters.difference_model
+            # key on the model's scalar parameters (str(np.float32) is the
+            # shortest uniquely-identifying repr); arrays/None are skipped
+            attrs = tuple(
+                (k, str(v))
+                for k, v in sorted(vars(sdm).items())
+                if isinstance(
+                    v, (str, bool, int, float, tuple,
+                        np.floating, np.integer)
+                )
+            )
+            p = self.parameters
+            key = (
+                type(sdm).__name__, attrs,
+                str(np.float32(p.penalty_gap_extend)),
+                int(p.gap_dist_ends), self.config.max_len, _DEV_LUT_Q,
+            )
+            host = _DEV_LUT_MEMO.get(key)
+            if host is None:
+                t0 = time.perf_counter()
+                host = _DEV_LUT_MEMO[key] = _build_all_lut(
+                    sdm, p, self.config.max_len
+                )
+                logger.debug(
+                    "device LUT table: %d rows built in %.1fs",
+                    host[0].shape[0], time.perf_counter() - t0,
+                )
+            ent = self._dev_lut_obj = (
+                jnp.asarray(host[0]), jnp.asarray(host[1]),
+                jnp.asarray(host[2]),
+            )
+        return ent
 
     def _host_bid_active(self) -> bool:
         """Host-C++ Bi-D + prepacked LUT table.

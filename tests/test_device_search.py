@@ -450,6 +450,105 @@ def test_lut_cache_bitexact_vs_batch_luts():
     np.testing.assert_array_equal(got_pen.view(np.uint32), ref_pen2.view(np.uint32))
 
 
+def test_device_lut_table_bitexact():
+    """_build_all_lut's flat all-lengths table must reproduce _batch_luts
+    score cells bitwise: the device-gather prep path (_unpack_prep_lut)
+    ships no score columns, only (class, qual) indices into this table."""
+    from mapad_tpu.ops.engine import (
+        _CLS_TABLE, _DEV_LUT_Q, _batch_luts, _build_all_lut,
+    )
+
+    params = _adna_params()
+    sdm = params.difference_model
+    table, pen_tab, off = _build_all_lut(sdm, params, 96)
+    rng = np.random.default_rng(5)
+    L, M = 48, 96
+    seqs = np.zeros((L, M), dtype=np.uint8)
+    quals = np.zeros((L, M), dtype=np.uint8)
+    n = np.zeros(L, dtype=np.int32)
+    bases = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    for i in range(L):
+        ln = int(rng.integers(17, M + 1))
+        n[i] = ln
+        seqs[i, :ln] = bases[rng.integers(0, 5, size=ln)]
+        quals[i, :ln] = rng.integers(2, 60, size=ln)
+    ref_lut, ref_pen = _batch_luts(sdm, params, seqs, quals, n, threads=1)
+
+    cls = _CLS_TABLE[seqs].astype(np.int64)
+    j = np.arange(M, dtype=np.int64)[None, :]
+    idx = np.where(
+        j < n[:, None],
+        off[n.astype(np.int64)][:, None]
+        + (j * 5 + cls) * _DEV_LUT_Q + quals,
+        table.shape[0] - 1,
+    )
+    got = table[idx]  # (L, M, 4)
+    np.testing.assert_array_equal(
+        got.view(np.uint32), ref_lut.view(np.uint32)
+    )
+    np.testing.assert_array_equal(
+        pen_tab[idx].view(np.uint32), ref_pen.view(np.uint32)
+    )
+
+
+def test_dev_lut_prep_matches_legacy(bench_fixture, monkeypatch):
+    """The small-blob device-LUT prep (_unpack_prep_lut) must hand the
+    kernel a bit-identical slut_packed table vs the legacy full upload."""
+    from mapad_tpu.map import native_search
+    from mapad_tpu.ops.search_pool import PoolConfig
+
+    if not native_search.available():
+        pytest.skip("native searcher unavailable")
+    ref, fmd, _ = bench_fixture
+    params = _adna_params()
+    rng = np.random.default_rng(77)
+    bases = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    reads = []
+    for _ in range(24):
+        ln = int(rng.integers(17, 101))
+        reads.append(bytes(bases[rng.integers(0, 5, size=ln)]))
+    recs = _records(reads)
+
+    cfg = PoolConfig(max_len=128, lanes=16, total_steps=4096,
+                     max_chains=512, compute_forward_part=False)
+    engine = DeviceSearchEngine(fmd, params, mode="pool", pool_config=cfg)
+    monkeypatch.setenv("MAPAD_HOST_BID", "1")
+
+    monkeypatch.setenv("MAPAD_DEV_LUT", "0")
+    legacy = engine._prepare(recs, 128, 32, host_bid=True)
+    monkeypatch.setenv("MAPAD_DEV_LUT", "1")
+    dev = engine._prepare(recs, 128, 32, host_bid=True)
+
+    a = np.asarray(legacy["slut_packed"]).view(np.uint32)
+    b = np.asarray(dev["slut_packed"]).view(np.uint32)
+    np.testing.assert_array_equal(a, b)
+    for k in ("n", "split", "cutoff_scale", "cutoff_thresh", "repr_mm"):
+        np.testing.assert_array_equal(
+            np.asarray(legacy[k]), np.asarray(dev[k])
+        )
+
+    # device-Bi-D small-blob path (big-genome mode): the reconstructed
+    # dense kernel inputs must equal the legacy full upload bitwise
+    monkeypatch.setenv("MAPAD_DEV_LUT", "0")
+    legacy_f = engine._prepare(recs, 128, 32, host_bid=False)
+    monkeypatch.setenv("MAPAD_DEV_LUT", "1")
+    dev_f = engine._prepare(recs, 128, 32, host_bid=False, dev_full=True)
+    assert dev_f.get("dev_prep")
+    thr = np.asarray(legacy_f["cutoff_thresh"]).copy()
+    thr[np.asarray(legacy_f["n"]) == 0] = np.float32(np.inf)
+    np.testing.assert_array_equal(thr, np.asarray(dev_f["cutoff_thresh"]))
+    for k in ("pattern_rank", "pattern_code", "n", "split",
+              "cutoff_scale", "repr_mm"):
+        np.testing.assert_array_equal(
+            np.asarray(legacy_f[k]), np.asarray(dev_f[k]), err_msg=k
+        )
+    for k in ("score_lut", "pen"):
+        np.testing.assert_array_equal(
+            np.asarray(legacy_f[k]).view(np.uint32),
+            np.asarray(dev_f[k]).view(np.uint32), err_msg=k,
+        )
+
+
 def test_hybrid_stream_equals_oracle(bench_fixture):
     """The hybrid engine's streaming path (device stream + native tail per
     block) must yield blocks in order with oracle-exact combined results."""

@@ -1043,13 +1043,34 @@ class DeviceSearchEngine:
         return bool(getattr(self.device_index, "big", False))
 
     def _deep_config(self, cfg: "PoolConfig | None" = None) -> "PoolConfig":
+        """Narrow-deep pool: fewer lanes x more steps at the SAME frame
+        store (L*S rows of 512 B, the HBM budget) raises the per-read pop
+        ceiling -- the primary config abandons a read after read_step_cap
+        pops and a deep re-run can only spend up to total_steps, so
+        "monster" reads (deep repeat searches; ~9% of reads at hg19 scale)
+        always ended on the ~24 ms/read host fallback.  The per-step pop
+        structures are VMEM-resident only while L*CAP stays within the
+        measured budget (512*4096 entries, ROADMAP round 2), so the deep
+        cap rides that curve: L/4 lanes buys a 4x larger per-read cap at
+        unchanged per-step pop cost.  MAPAD_DEEP_LANES / MAPAD_DEEP_STEPS /
+        MAPAD_DEEP_CAP override."""
         import os
 
         cfg = cfg or self.pool_config
+        lanes = int(os.environ.get(
+            "MAPAD_DEEP_LANES", str(min(cfg.lanes, max(32, cfg.lanes // 4)))
+        ))
+        steps = int(os.environ.get(
+            "MAPAD_DEEP_STEPS",
+            str(cfg.total_steps * max(1, cfg.lanes // lanes)),
+        ))
+        cap_budget = cfg.lanes * cfg.read_step_cap  # known-VMEM-resident
+        cap = int(os.environ.get(
+            "MAPAD_DEEP_CAP",
+            str(min(steps, max(cfg.total_steps, cap_budget // lanes))),
+        ))
         return cfg._replace(
-            read_step_cap=int(
-                os.environ.get("MAPAD_DEEP_CAP", str(cfg.total_steps))
-            )
+            lanes=lanes, total_steps=steps, read_step_cap=cap
         )
 
     def warm(self, records):

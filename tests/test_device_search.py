@@ -308,6 +308,41 @@ def test_deep_tier_resolves_abandons_on_device(bench_fixture, monkeypatch):
         assert_hits_equal(hits, oracle_hits, read[:16])
 
 
+def test_narrow_deep_tier_oracle_equal(bench_fixture, monkeypatch):
+    """The narrow-deep tier (fewer lanes x more steps, larger per-read
+    cap) compiles a differently-shaped kernel; its results must stay
+    oracle-identical and it must resolve primary-cap abandons on device."""
+    from mapad_tpu.ops.search_pool import PoolConfig
+
+    monkeypatch.setenv("MAPAD_RETRY_TIER", "1")
+    monkeypatch.setenv("MAPAD_DEEP_TIER", "1")
+    monkeypatch.setenv("MAPAD_DEEP_LANES", "4")
+    ref, fmd, _ = bench_fixture
+    params = _adna_params()
+    reads = [
+        l.strip().encode()
+        for l in open(os.path.join(HERE, "data", "bench_reads.txt"))
+    ]
+    cfg = PoolConfig(max_len=128, lanes=8, total_steps=2048,
+                     read_step_cap=64, max_chains=1024,
+                     compute_forward_part=False)
+    engine = DeviceSearchEngine(fmd, params, mode="pool", pool_config=cfg)
+    # default derivation: lanes 8 -> 4, steps 2048 -> 4096, cap = L*CAP
+    # budget over the narrow lanes = 8*64/4 = 128 (< steps) -> but the
+    # floor is the primary total_steps, so 2048
+    deep = engine._deep_config()
+    assert deep.lanes == 4
+    assert deep.total_steps == 4096
+    assert deep.read_step_cap == 2048
+    engine.block_reads = 64
+    results = engine.search_chunk(_records(reads))
+    assert engine._stats.get("deep_retried", 0) > 0
+    assert engine._stats["oracle"] < engine._stats["esc_why"]["abandon"]
+    for (hits, _dur), read in zip(results, reads):
+        oracle_hits = oracle_search(read, [40] * len(read), params, fmd)
+        assert_hits_equal(hits, oracle_hits, read[:16])
+
+
 def test_overlong_reads_escalate(bench_fixture):
     # reads longer than max_len cannot enter the lanes; they must still be
     # mapped exactly via the native/host fallback

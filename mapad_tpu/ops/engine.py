@@ -856,9 +856,11 @@ class DeviceSearchEngine:
         retry_buf: list = []  # (Future, record, gen)
         _RETRY = object()  # sentinel key: internal block, never yielded
 
-        # deep tier: a second device tier whose config REMOVES the
-        # per-read step cap (cap = the whole L*S budget), so deep reads
-        # (primary-cap abandons and heavy unfinished) stay on device.  At
+        # deep tier: a second device tier with a narrow-deep config
+        # (L/4 lanes x 4x steps at the same frame store; per-read cap
+        # raised to the L*CAP VMEM budget / lanes, floored at
+        # total_steps -- see _deep_config), so deep reads (primary-cap
+        # abandons and heavy unfinished) stay on device.  At
         # genome scale the exact host fallback costs ~24 ms/read against
         # the multi-GB FMD (hg19 e2e measured 269 reads/s that way), so
         # big (int64) mode enables this by default; MAPAD_DEEP_TIER=1/0
@@ -1060,6 +1062,10 @@ class DeviceSearchEngine:
         lanes = int(os.environ.get(
             "MAPAD_DEEP_LANES", str(min(cfg.lanes, max(32, cfg.lanes // 4)))
         ))
+        # clamp env overrides: lanes=0 would divide by zero below, and
+        # lanes > cfg.lanes would silently grow the L*S frame store past
+        # the stated HBM budget (the steps multiplier floors at 1)
+        lanes = max(1, min(lanes, cfg.lanes))
         steps = int(os.environ.get(
             "MAPAD_DEEP_STEPS",
             str(cfg.total_steps * max(1, cfg.lanes // lanes)),
@@ -1076,8 +1082,9 @@ class DeviceSearchEngine:
     def warm(self, records):
         """Compile-warm every config a production run can hit: the primary
         pool config via a normal chunk, and the deep tier's (different
-        read_step_cap => different compiled kernel) when it is enabled, so
-        the first real deep block does not pay a compile mid-stream."""
+        lanes/total_steps/read_step_cap => different compiled kernel) when
+        it is enabled, so the first real deep block does not pay a compile
+        mid-stream."""
         self.search_chunk(records)
         if self.mode == "pool" and self.deep_tier_enabled():
             prepped = self._prep_block(

@@ -410,9 +410,25 @@ class DeviceSearchEngine:
                 read_step_cap=min(cap_env or 4096, pool_steps),
                 compute_forward_part=config.compute_forward_part,
                 backward_only=self._is_backward_only,
+                # in-kernel store generations: unfinished/undispatched
+                # reads RESUME with their frontier intact after an
+                # in-place store compaction (~10 ms) instead of
+                # escalating to a fresh retry invocation or the host
+                # fallback (ops/search_pool.py PoolConfig.generations)
+                generations=int(_os.environ.get("MAPAD_KGENS", "2")),
+                # below this many live lanes another spill generation
+                # costs more device time than the host fallback pool
+                # clearing the stragglers (a step is L-wide whatever the
+                # occupancy)
+                min_live=int(_os.environ.get("MAPAD_KGENS_MIN_LIVE", "32")),
             )
         elif pool_config.backward_only and not self._is_backward_only:
             pool_config = pool_config._replace(backward_only=False)
+        if (pool_config.generations > 1
+                and pool_config.read_step_cap + 4 > pool_config.total_steps):
+            # compaction frees delta >= S - cap - 2 steps per boundary;
+            # without margin a boundary could free nothing
+            pool_config = pool_config._replace(generations=1)
         self.pool_config = pool_config
         self.tiers = tiers
         self._stats = {"device_lanes": 0, "escalated": 0, "oracle": 0,
@@ -1075,8 +1091,17 @@ class DeviceSearchEngine:
             "MAPAD_DEEP_CAP",
             str(min(steps, max(cfg.total_steps, cap_budget // lanes))),
         ))
+        # deep blocks carry few, heavy reads: give the kernel more spill
+        # generations (in-place store compaction, search_pool.py) so a
+        # monster read keeps its frontier across store fills up to the
+        # per-read cap instead of re-entering the tier from scratch
+        kgens = int(os.environ.get("MAPAD_DEEP_KGENS", "4"))
+        if cap + 4 > steps:
+            kgens = 1
         return cfg._replace(
-            lanes=lanes, total_steps=steps, read_step_cap=cap
+            lanes=lanes, total_steps=steps, read_step_cap=cap,
+            generations=kgens,
+            min_live=int(os.environ.get("MAPAD_KGENS_MIN_LIVE", "32")),
         )
 
     def warm(self, records):

@@ -52,6 +52,26 @@ class PoolConfig(NamedTuple):
     # kernel): logs (read_id, steps consumed) at each lane refill; the
     # engine converts steps to seconds via the invocation's step time.
     track_read_steps: bool = False
+    # In-kernel store generations: when > 1, a full frame store (step == S)
+    # with live lanes is COMPACTED in place -- completed chains are
+    # extracted into an accumulator, the store is shifted down by
+    # delta = min(live lane_start) (live frames span at most the last
+    # read_step_cap steps, so delta >= S - cap), parent pointers are
+    # remapped by +9*delta and the pop rings rolled -- and the loop
+    # continues with the freed budget.  Unfinished and undispatched reads
+    # thus RESUME with their frontier intact instead of escalating and
+    # re-running from scratch (the reference never restarts a read either:
+    # it evicts worst frames in place, mapping.rs:1357-1380).  A boundary
+    # costs ~2.5 full-store passes (~10 ms at the 2 GB production store)
+    # vs ~600 ms device + host prep for a fresh retry invocation.
+    # Requires read_step_cap + 4 <= total_steps so every boundary frees
+    # at least one step.
+    generations: int = 1
+    # Early-stop for the spill generations (> first): at a store boundary
+    # the loop only continues into another generation while at least this
+    # many lanes are live; a thinner tail escalates as before (a step
+    # costs the full L-wide work whatever the occupancy).
+    min_live: int = 1
     # Fixed step count for ablation timing (0 = normal termination)
     debug_fixed_steps: int = 0
 

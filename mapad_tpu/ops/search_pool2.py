@@ -611,22 +611,331 @@ def k_mismatch_search_pool2(
                 c_thresh, c_repr, best_score, best_size, hcount, fin_log,
                 step + 1)
 
-    state = jax.lax.while_loop(cond, body, state)
+    MW = M + 16
+    NB9 = S + 1  # physical block rows (block S = ROOT, all zero)
+
+    def extract_chains(st_pack, slot_shift=None):
+        """Compact completion/abandon entries out of the store, two-stage
+        (a flat sort over L*SLOTS keys cost ~278 ms/invocation on chip; the
+        gen-1 scatter ~700): stage 1 reduces each 9-candidate block to a
+        bitmask, stage 2 top_k's the ~9x-smaller block keys, stage 3
+        expands the selected blocks and orders their set bits with a small
+        top_k.  Runs once post-loop (generations == 1) or at every store
+        boundary plus once post-loop (generations > 1); `slot_shift`
+        (9 x cumulative compaction shift) converts in-store slots to
+        GLOBAL completion-order keys so per-read hit order is preserved
+        across generations.  Valid entries form a prefix (top_k orders the
+        distinct negative linear keys before the INT_MIN padding).
+
+        Returns (n_ext, n_chains, read, slot, abandon, lower, lrev, size,
+        score, ops)."""
+        op9_col = st_pack[:, :, [c * NFP + F_OP for c in range(CANDS)]]
+        comp_mask = (
+            (op9_col & (OP_COMP_BIT | OP_ABANDON_BIT)) != 0
+        )  # (L, NB9, 9)
+        n_chains = jnp.sum(comp_mask, dtype=i32)
+        blk_bits = jnp.sum(
+            jnp.where(
+                comp_mask,
+                jnp.int32(1)
+                << jax.lax.broadcasted_iota(i32, (L, NB9, CANDS), 2),
+                0,
+            ),
+            axis=2,
+            dtype=i32,
+        )  # (L, NB9) 9-bit occupancy per block
+        lin_b = jax.lax.broadcasted_iota(i32, (L, NB9), 0) * NB9 + (
+            jax.lax.broadcasted_iota(i32, (L, NB9), 1)
+        )
+        bkeys = jnp.where(blk_bits != 0, -lin_b, INT_MIN).reshape(L * NB9)
+        btop, _ = jax.lax.top_k(bkeys, C)  # ascending (lane, block) order
+        bvalid = btop > INT_MIN
+        bpos = jnp.where(bvalid, -btop, 0)
+        b_lane = bpos // NB9
+        b_blk = bpos - b_lane * NB9
+        bits = jnp.where(bvalid, blk_bits[b_lane, b_blk], 0)  # (C,)
+        # expand: entry k of block b in (lane, slot) order; keep the first C
+        cand9 = jax.lax.broadcasted_iota(i32, (C, CANDS), 1)
+        set_mask = ((bits[:, None] >> cand9) & 1) != 0
+        exp_lin = jnp.where(
+            set_mask,
+            -(jax.lax.broadcasted_iota(i32, (C, CANDS), 0) * CANDS + cand9),
+            INT_MIN,
+        ).reshape(C * CANDS)
+        etop, _ = jax.lax.top_k(exp_lin, C)
+        valid_chain = etop > INT_MIN
+        epos = jnp.where(valid_chain, -etop, 0)
+        e_row = epos // CANDS
+        e_cand = epos - e_row * CANDS
+        c_lane = b_lane[e_row]
+        c_slot = b_blk[e_row] * CANDS + e_cand
+
+        rows_c = st_pack[c_lane, c_slot // CANDS]  # (C, BW)
+        base_c = (c_slot % CANDS) * NFP
+
+        def fld(f):
+            return jnp.take_along_axis(
+                rows_c, (base_c + f)[:, None], axis=1
+            )[:, 0]
+
+        e_op = fld(F_OP)
+        c_abandon = ((e_op & OP_ABANDON_BIT) != 0) & valid_chain
+        c_read = jnp.where(valid_chain, fld(F_GAPS), -1)
+        if BIG:
+            c_lower = _unpack64(fld(F_LOWER), fld(NF + 0))
+            c_lrev = _unpack64(fld(F_LREV), fld(NF + 1))
+            c_size = _unpack64(fld(F_SIZE), fld(NF + 2))
+        else:
+            c_lower = fld(F_LOWER)
+            c_lrev = fld(F_LREV)
+            c_size = fld(F_SIZE)
+        c_score = jax.lax.bitcast_convert_type(fld(F_SCOREBITS), jnp.float32)
+
+        walk_valid = valid_chain & ~c_abandon
+        node0 = jnp.where(walk_valid, fld(F_PARENT), ROOT)
+        op0 = jnp.where(walk_valid, e_op, 0)
+
+        def walk(carry, _):
+            node = carry
+            rows = st_pack[c_lane, node // CANDS]  # (C, BW)
+            cand = node % CANDS
+
+            def nfld(f):
+                # static slices + arithmetic one-hot over the 9 candidate
+                # offsets: ~8x cheaper than a 128-wide take_along_axis on
+                # chip
+                cols = jnp.stack(
+                    [rows[:, c * NFP + f] for c in range(CANDS)], axis=1
+                )  # (C, 9)
+                hit = (
+                    jax.lax.broadcasted_iota(i32, cols.shape, 1)
+                    == cand[:, None]
+                )
+                return jnp.sum(jnp.where(hit, cols, 0), axis=1, dtype=i32)
+
+            at_root = node == ROOT
+            word = jnp.where(at_root, 0, nfld(F_OP))
+            nxt = jnp.where(at_root, ROOT, nfld(F_PARENT))
+            return nxt, word
+
+        _, words = jax.lax.scan(walk, node0, None, length=MW - 1)
+        c_ops = jnp.concatenate([op0[None, :], words], axis=0).T  # (C, MW)
+        n_ext = jnp.sum(valid_chain, dtype=i32)
+        out_slot = c_slot if slot_shift is None else c_slot - slot_shift
+        return (n_ext, n_chains, c_read, out_slot, c_abandon, c_lower,
+                c_lrev, c_size, c_score, c_ops)
+
+    def fold_read_steps(fin_log, acc_rs):
+        """Reduce the (L, S) finish log into the (R+1,) per-read step
+        accumulator: each read refills (and so logs) at most once per
+        generation, and the fetch then ships R ints instead of the L*S
+        log (reference emits per-read wall time as the XD tag,
+        mapping.rs:912-918; the device-native analogue is steps x
+        measured step time)."""
+        ev = fin_log.reshape(-1)
+        rid = jnp.where(ev >= 0, ev // 4096, R)
+        return acc_rs.at[rid].max(ev % 4096)
+
+    GENS = max(1, int(config.generations))
+    if GENS == 1:
+        state = jax.lax.while_loop(cond, body, state)
+    else:
+        # --- generational store compaction: when the store fills with
+        # lanes still live, extract this generation's completed chains,
+        # shift the live window to the top of the store and keep stepping.
+        # Unfinished and undispatched reads thus RESUME with their
+        # frontier intact instead of escalating and re-running from
+        # scratch (the reference never restarts a read either: it evicts
+        # worst frames in place, mapping.rs:1357-1380).  Every live frame
+        # is within the last CAP steps of its lane's refill (the abandon
+        # cap), so delta = min(live lane_start) >= S - CAP - 2; the
+        # static margin below makes a stuck boundary (delta == 0)
+        # impossible.  The nested loop keeps the hot inner trace (and its
+        # in-place store aliasing) identical to the generations == 1
+        # kernel; a boundary costs ~2.5 full-store passes (~10 ms at the
+        # 2 GB production store) vs ~600 ms device + host prep for a
+        # fresh retry invocation.
+        assert config.debug_fixed_steps == 0, (
+            "debug_fixed_steps is a gens=1 ablation knob"
+        )
+        assert CAP + 4 <= S, (
+            f"generations>1 needs read_step_cap + 4 <= total_steps "
+            f"(got cap={CAP}, steps={S})"
+        )
+        MIN_LIVE = max(1, int(config.min_live))
+        C2 = 2 * C  # append window never clamps: write offset <= C
+        acc0 = dict(
+            n=jnp.int32(0),
+            nch=jnp.int32(0),
+            read=jnp.full((C2,), -1, i32),
+            slot=jnp.zeros((C2,), i32),
+            ab=jnp.zeros((C2,), jnp.bool_),
+            lower=jnp.zeros((C2,), IDT),
+            lrev=jnp.zeros((C2,), IDT),
+            size=jnp.zeros((C2,), IDT),
+            score=jnp.zeros((C2,), jnp.float32),
+            ops=jnp.zeros((C2, MW), i32),
+            rs=jnp.full((R + 1,), -1, i32),
+        )
+
+        def inner_cond(state):
+            lane_done, step = state[6], state[18]
+            return jnp.logical_and(step < S, ~jnp.all(lane_done))
+
+        def append_acc(acc, ext):
+            (n_ext, nch, exr, exslot, exab, exlo, exlr, exsz, exsc,
+             exops) = ext
+            wr = jnp.minimum(acc["n"], C)
+            acc = dict(acc)
+            for name, val in (
+                ("read", exr), ("slot", exslot), ("ab", exab),
+                ("lower", exlo), ("lrev", exlr), ("size", exsz),
+                ("score", exsc),
+            ):
+                acc[name] = jax.lax.dynamic_update_slice(
+                    acc[name], val, (wr,)
+                )
+            acc["ops"] = jax.lax.dynamic_update_slice(
+                acc["ops"], exops, (wr, jnp.int32(0))
+            )
+            acc["n"] = acc["n"] + n_ext
+            acc["nch"] = acc["nch"] + nch
+            return acc
+
+        def boundary(carry):
+            """Extract chains, fold the finish log, compact the store."""
+            core, gen, cum, acc = carry
+            (consumed, bm_key, lane_start, st_pack, read_id, fresh,
+             lane_done, next_read, lane_age, c_n, c_split, c_scale,
+             c_thresh, c_repr, best_score, best_size, hcount, fin_log,
+             step) = core
+            acc = append_acc(
+                acc, extract_chains(st_pack, slot_shift=cum * CANDS)
+            )
+            if config.track_read_steps:
+                acc["rs"] = fold_read_steps(fin_log, acc["rs"])
+                fin_log = jnp.full_like(fin_log, -1)
+            delta = jnp.min(
+                jnp.where(
+                    lane_done, jnp.int32(S), jnp.minimum(lane_start, S)
+                )
+            )
+            # shift the store down by delta block rows (blk = S-1-t, so
+            # t -> t - delta is row -> row + delta); row S (ROOT) and the
+            # vacated top rows stay zero
+            rows = jnp.arange(NB9)
+            src = rows - delta
+            keep = (src >= 0) & (rows < S)
+            shifted = jnp.where(
+                keep[None, :, None],
+                jnp.take(st_pack, jnp.clip(src, 0, S), axis=1),
+                0,
+            )
+            # remap parent slots (+9*delta; ROOT fixed -- live frames'
+            # ancestors are all within their lane's window, which moved
+            # uniformly) and clear the extracted COMP/ABANDON markers so
+            # the next extraction only sees new chains
+            blob = shifted[:, :, : CANDS * NFP].reshape(
+                L, NB9, CANDS, NFP
+            )
+            ops_f = blob[..., F_OP]
+            par_f = blob[..., F_PARENT]
+            par2 = jnp.where(
+                ((ops_f & OP_VALID_BIT) != 0) & (par_f != ROOT),
+                par_f + CANDS * delta,
+                par_f,
+            )
+            ops2 = ops_f & ~(OP_COMP_BIT | OP_ABANDON_BIT)
+            blob = jnp.concatenate(
+                [
+                    blob[..., :F_PARENT],
+                    par2[..., None],
+                    blob[..., F_PARENT + 1 : F_OP],
+                    ops2[..., None],
+                    blob[..., F_OP + 1 :],
+                ],
+                axis=-1,
+            ).reshape(L, NB9, CANDS * NFP)
+            st_pack = jnp.concatenate(
+                [blob, shifted[:, :, CANDS * NFP :]], axis=-1
+            )
+            # pop rings: slot s holds step t with t === s (mod RB); after
+            # t -> t - delta the entry for new slot s sat at (s+delta)%RB
+            ring_src = jnp.remainder(jnp.arange(RB) + delta, RB)
+            consumed = jnp.take(consumed, ring_src, axis=1)
+            bm_key = jnp.take(bm_key, ring_src, axis=1)
+            lane_start = jnp.maximum(lane_start - delta, 0)
+            core = (consumed, bm_key, lane_start, st_pack, read_id, fresh,
+                    lane_done, next_read, lane_age, c_n, c_split, c_scale,
+                    c_thresh, c_repr, best_score, best_size, hcount,
+                    fin_log, step - delta)
+            return core, gen, cum + delta, acc
+
+        def outer_body(carry):
+            core, gen, cum, acc = carry
+            core = jax.lax.while_loop(inner_cond, body, core)
+            lane_done, step = core[6], core[18]
+            live = jnp.sum(~lane_done, dtype=i32)
+            spill = (
+                (step >= S)
+                & ~jnp.all(lane_done)
+                & (live >= MIN_LIVE)
+                & (gen + 1 < GENS)
+            )
+            core, gen, cum, acc = jax.lax.cond(
+                spill, boundary, lambda c: c, (core, gen, cum, acc)
+            )
+            return core, gen + 1, cum, acc
+
+        def outer_cond(carry):
+            core, gen, cum, acc = carry
+            lane_done, step = core[6], core[18]
+            # gen 0 always runs; later gens only when the previous
+            # iteration compacted (rolled step back below S)
+            return (gen == 0) | (
+                (gen < GENS) & (step < S) & ~jnp.all(lane_done)
+            )
+
+        state, _gen, cum_shift, acc = jax.lax.while_loop(
+            outer_cond, outer_body,
+            (state, jnp.int32(0), jnp.int32(0), acc0),
+        )
+
     (consumed, bm_key, lane_start, st_pack, read_id, fresh, lane_done,
      next_read, lane_age, c_n, c_split, c_scale, c_thresh, c_repr,
      best_score, best_size, hcount, fin_log, steps) = state
 
     lane_unfinished = ~lane_done & (read_id < R)
 
+    if GENS == 1:
+        (n_ext, n_chains, c_read, c_slot, c_abandon, c_lower, c_lrev,
+         c_size, c_score, c_ops) = extract_chains(st_pack)
+        if config.track_read_steps:
+            read_steps = fold_read_steps(
+                fin_log, jnp.full((R + 1,), -1, i32)
+            )
+        total_steps = steps
+    else:
+        acc = append_acc(
+            acc, extract_chains(st_pack, slot_shift=cum_shift * CANDS)
+        )
+        n_chains = acc["nch"]
+        c_read = acc["read"][:C]
+        c_slot = acc["slot"][:C]
+        c_abandon = acc["ab"][:C]
+        c_lower = acc["lower"][:C]
+        c_lrev = acc["lrev"][:C]
+        c_size = acc["size"][:C]
+        c_score = acc["score"][:C]
+        c_ops = acc["ops"][:C]
+        if config.track_read_steps:
+            read_steps = fold_read_steps(fin_log, acc["rs"])
+        # total executed steps across generations (for the engine's
+        # step-time estimate): the final in-store step counter plus every
+        # compacted-away step
+        total_steps = steps + cum_shift
+
     if config.track_read_steps:
-        # reduce the (L, S) finish log to per-read step counts on device:
-        # each read refills (and so logs) at most once, and the fetch then
-        # ships R ints instead of the L*S log (reference emits per-read
-        # wall time as the XD tag, mapping.rs:912-918; the device-native
-        # analogue is steps x measured step time)
-        ev = fin_log.reshape(-1)
-        rid = jnp.where(ev >= 0, ev // 4096, R)
-        read_steps = jnp.full((R + 1,), -1, i32).at[rid].max(ev % 4096)
         # unfinished lanes report the steps consumed SO FAR by their held
         # read: the engine's retry policy uses this to split budget-starved
         # escalatees (device retry) from deep ones (host fallback); XD
@@ -636,100 +945,10 @@ def k_mismatch_search_pool2(
     else:
         read_steps = jnp.full((R,), -1, i32)
 
-    # --- compact completion/abandon entries, two-stage (a flat sort over
-    # L*SLOTS keys cost ~278 ms/invocation on chip; the gen-1 scatter ~700):
-    # stage 1 reduces each 9-candidate block to a bitmask, stage 2 top_k's
-    # the ~9x-smaller block keys, stage 3 expands the selected blocks and
-    # orders their set bits with a small top_k ---
-    NB9 = S + 1  # physical block rows (block S = ROOT, all zero)
-    op9_col = st_pack[:, :, [c * NFP + F_OP for c in range(CANDS)]]
-    comp_mask = (op9_col & (OP_COMP_BIT | OP_ABANDON_BIT)) != 0  # (L,NB9,9)
-    n_chains = jnp.sum(comp_mask, dtype=i32)
-    blk_bits = jnp.sum(
-        jnp.where(
-            comp_mask,
-            jnp.int32(1) << jax.lax.broadcasted_iota(i32, (L, NB9, CANDS), 2),
-            0,
-        ),
-        axis=2,
-        dtype=i32,
-    )  # (L, NB9) 9-bit occupancy per block
-    lin_b = jax.lax.broadcasted_iota(i32, (L, NB9), 0) * NB9 + (
-        jax.lax.broadcasted_iota(i32, (L, NB9), 1)
-    )
-    bkeys = jnp.where(blk_bits != 0, -lin_b, INT_MIN).reshape(L * NB9)
-    btop, _ = jax.lax.top_k(bkeys, C)  # ascending (lane, block) order
-    bvalid = btop > INT_MIN
-    bpos = jnp.where(bvalid, -btop, 0)
-    b_lane = bpos // NB9
-    b_blk = bpos - b_lane * NB9
-    bits = jnp.where(bvalid, blk_bits[b_lane, b_blk], 0)  # (C,)
-    # expand: entry k of block b in (lane, slot) order; keep the first C
-    cand9 = jax.lax.broadcasted_iota(i32, (C, CANDS), 1)
-    set_mask = ((bits[:, None] >> cand9) & 1) != 0
-    exp_lin = jnp.where(
-        set_mask,
-        -(jax.lax.broadcasted_iota(i32, (C, CANDS), 0) * CANDS + cand9),
-        INT_MIN,
-    ).reshape(C * CANDS)
-    etop, _ = jax.lax.top_k(exp_lin, C)
-    valid_chain = etop > INT_MIN
-    epos = jnp.where(valid_chain, -etop, 0)
-    e_row = epos // CANDS
-    e_cand = epos - e_row * CANDS
-    c_lane = b_lane[e_row]
-    c_slot = b_blk[e_row] * CANDS + e_cand
-
-    rows_c = st_pack[c_lane, c_slot // CANDS]  # (C, BW)
-    base_c = (c_slot % CANDS) * NFP
-
-    def fld(f):
-        return jnp.take_along_axis(rows_c, (base_c + f)[:, None], axis=1)[:, 0]
-
-    e_op = fld(F_OP)
-    c_abandon = ((e_op & OP_ABANDON_BIT) != 0) & valid_chain
-    c_read = jnp.where(valid_chain, fld(F_GAPS), -1)
-    if BIG:
-        c_lower = _unpack64(fld(F_LOWER), fld(NF + 0))
-        c_lrev = _unpack64(fld(F_LREV), fld(NF + 1))
-        c_size = _unpack64(fld(F_SIZE), fld(NF + 2))
-    else:
-        c_lower = fld(F_LOWER)
-        c_lrev = fld(F_LREV)
-        c_size = fld(F_SIZE)
-    c_score = jax.lax.bitcast_convert_type(fld(F_SCOREBITS), jnp.float32)
-
-    MW = M + 16
-    walk_valid = valid_chain & ~c_abandon
-    node0 = jnp.where(walk_valid, fld(F_PARENT), ROOT)
-    op0 = jnp.where(walk_valid, e_op, 0)
-
-    def walk(carry, _):
-        node = carry
-        rows = st_pack[c_lane, node // CANDS]  # (C, BW)
-        cand = node % CANDS
-
-        def nfld(f):
-            # static slices + arithmetic one-hot over the 9 candidate
-            # offsets: ~8x cheaper than a 128-wide take_along_axis on chip
-            cols = jnp.stack(
-                [rows[:, c * NFP + f] for c in range(CANDS)], axis=1
-            )  # (C, 9)
-            hit = jax.lax.broadcasted_iota(i32, cols.shape, 1) == cand[:, None]
-            return jnp.sum(jnp.where(hit, cols, 0), axis=1, dtype=i32)
-
-        at_root = node == ROOT
-        word = jnp.where(at_root, 0, nfld(F_OP))
-        nxt = jnp.where(at_root, ROOT, nfld(F_PARENT))
-        return nxt, word
-
-    _, words = jax.lax.scan(walk, node0, None, length=MW - 1)
-    c_ops = jnp.concatenate([op0[None, :], words], axis=0).T  # (C, MW)
-
     return PoolResult(
         c_read=c_read, c_slot=c_slot, c_abandon=c_abandon,
         c_lower=c_lower, c_lrev=c_lrev, c_size=c_size, c_score=c_score,
         c_ops=c_ops, n_chains=n_chains,
         lane_read=read_id, lane_unfinished=lane_unfinished,
-        next_read=next_read, steps=steps, read_steps=read_steps,
+        next_read=next_read, steps=total_steps, read_steps=read_steps,
     )

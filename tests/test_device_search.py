@@ -630,3 +630,71 @@ def test_hybrid_stream_equals_oracle(bench_fixture):
                 record.sequence, record.base_qualities, params, fmd
             )
             assert_hits_equal(hits, oracle_hits, record.sequence[:16])
+
+
+def test_pool_generations_resume_budget_starved_reads(bench_fixture):
+    """In-kernel store generations (PoolConfig.generations > 1): when the
+    store fills with lanes still live, the kernel compacts it in place and
+    keeps stepping, so budget-starved reads RESUME with their frontier
+    intact instead of escalating.  Results must be oracle-identical
+    (including per-read hit completion order across the boundary), and the
+    host-fallback count must shrink vs the gens=1 run of the same starved
+    config."""
+    from mapad_tpu.ops.search_pool import PoolConfig
+
+    ref, fmd, _ = bench_fixture
+    params = _adna_params()
+    rng = np.random.default_rng(31)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    reads = [
+        l.strip().encode()
+        for l in open(os.path.join(HERE, "data", "bench_reads.txt"))
+    ] * 2
+    for _ in range(40):
+        ln = int(rng.integers(20, 101))
+        start = int(rng.integers(0, len(ref) - ln))
+        seq = bytearray(ref[start : start + ln])
+        for _ in range(int(rng.integers(0, 3))):
+            seq[int(rng.integers(0, ln))] = int(rng.choice(bases))
+        reads.append(bytes(seq))
+    # starved shared budget: 8 lanes x 640 steps cannot finish the pool in
+    # one store generation (the gens=1 run escalates a large tail)
+    base_cfg = dict(max_len=128, lanes=8, total_steps=640,
+                    read_step_cap=512, max_chains=1024,
+                    compute_forward_part=False)
+    esc = {}
+    for gens in (1, 4):
+        cfg = PoolConfig(generations=gens, min_live=1, **base_cfg)
+        engine = DeviceSearchEngine(fmd, params, mode="pool",
+                                    pool_config=cfg)
+        results = engine.search_chunk(_records(reads))
+        esc[gens] = engine._stats["oracle"]
+        for (hits, _dur), read in zip(results, reads):
+            oracle_hits = oracle_search(read, [40] * len(read), params, fmd)
+            assert_hits_equal(hits, oracle_hits, (gens, read[:16]))
+    assert esc[1] > 0, "starved config should escalate without generations"
+    assert esc[4] < esc[1], esc
+
+
+def test_pool_generations_noop_when_budget_suffices(bench_fixture):
+    """With a budget large enough to finish in generation 0, the gens>1
+    kernel must produce bit-identical results to gens=1 (the boundary
+    branch never fires)."""
+    from mapad_tpu.ops.search_pool import PoolConfig
+
+    ref, fmd, _ = bench_fixture
+    params = _adna_params()
+    reads = [
+        l.strip().encode()
+        for l in open(os.path.join(HERE, "data", "bench_reads.txt"))
+    ]
+    base_cfg = dict(max_len=128, lanes=16, total_steps=16384,
+                    max_chains=512, compute_forward_part=False)
+    outs = []
+    for gens in (1, 3):
+        cfg = PoolConfig(generations=gens, **base_cfg)
+        engine = DeviceSearchEngine(fmd, params, mode="pool",
+                                    pool_config=cfg)
+        outs.append(engine.search_chunk(_records(reads)))
+    for (ha, _), (hb, _) in zip(*outs):
+        assert_hits_equal(ha, hb, "gens=3 vs gens=1")

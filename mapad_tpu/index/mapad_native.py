@@ -23,14 +23,19 @@ Format (derived from the reference sources; cited per item):
   * NAME.trt  Item<RankTransform { ranks: VecMap<u8> }> -- vec_map's serde
     impl writes a map: u64 count + (u64 symbol, u8 rank) entries
     (indexing.rs:155-161)
-  * NAME.toc  Item<Occ> from the rust-bio "occ_small_k" fork.  NOT parsed:
-    the fork's internal layout is not stable/public, and occurrence
-    checkpoints are cheaply re-derived from the BWT at load time
-    (`compute_occ_checkpoints`), which also lets us pick our own
-    checkpoint stride.  For the same reason `save_mapad_index` cannot
-    produce a .toc file, so exported bundles are read back by *this*
-    framework (round-trip tested) but are not sufficient for the
-    reference binary itself.
+  * NAME.toc  Item<Occ> from the reference's rust-bio "occ_small_k" fork
+    (Cargo.toml:33-34), written with k = 128 (indexing.rs:188).  Layout =
+    mainline rust-bio `Occ { occ: Vec<Vec<usize>>, k: u32 }` with one
+    INCLUSIVE checkpoint per BWT position i where i % k == 0 (the count
+    covers bwt[0..=i]; rust-bio bwt.rs Occ::new increments before
+    pushing).  The fork adds the `get_small_k` accessor; its struct
+    fields are the mainline ones (assumption documented here because the
+    fork's source is not vendored and cannot be fetched in this
+    environment -- round-tripping through our own parser is what the
+    tests can pin).  At load time occurrence checkpoints are still
+    re-derived from the BWT (`compute_occ_checkpoints`): that is cheap,
+    uses our own stride, and keeps load working for bundles missing
+    .toc.
 
 BTreeMap serializes in ascending key order, which we rely on for the
 sampled-SA extra-row binary search.
@@ -448,3 +453,57 @@ def save_mapad_index(reference_path, fmd: FmdIndex, suffix_array, id_pos_map,
     for p, s in zip(positions, symbols):
         payload += struct.pack("<QB", p, s)
     _write_item(reference_path + ".tos", payload)
+
+    _write_item(
+        reference_path + ".toc", _occ_payload(bwt, MAPAD_TOC_OCC_K)
+    )
+
+
+MAPAD_TOC_OCC_K = 128  # reference indexing.rs:188
+
+
+def _occ_payload(bwt: np.ndarray, occ_k: int) -> bytes:
+    """bincode payload of rust-bio `Occ { occ: Vec<Vec<usize>>, k: u32 }`:
+    inclusive checkpoints (count over bwt[0..=b*k]) for every b*k < n,
+    each an m-vector where m = max symbol + 1 (docstring at module top).
+    Vectorized row build: a Python loop over the ~48M hg19 checkpoint
+    rows would take minutes."""
+    n = len(bwt)
+    m = int(bwt.max()) + 1 if n else 0
+    nb = -(-n // occ_k) if n else 0  # #checkpoints: i = 0, k, 2k, ... < n
+    cp = compute_occ_checkpoints(bwt, occ_k, m)  # exclusive, (nb+1, m)
+    rows = np.empty((nb, m + 1), dtype="<u8")
+    rows[:, 0] = m  # each inner Vec's u64 length prefix
+    rows[:, 1:] = cp[:nb]
+    # exclusive -> inclusive: add bwt[b*k] to its own checkpoint
+    at_cp = bwt[: nb * occ_k : occ_k]
+    np.add.at(rows, (np.arange(nb), at_cp.astype(np.int64) + 1), 1)
+    return (
+        struct.pack("<Q", nb) + rows.tobytes() + struct.pack("<I", occ_k)
+    )
+
+
+def load_mapad_occ(path: str):
+    """Parse a NAME.toc back into (inclusive checkpoint matrix (nb, m)
+    int64, k).  The runtime itself re-derives checkpoints from the BWT;
+    this parser pins the emitted layout in tests and serves external
+    tooling."""
+    cur = _read_item(path)
+    nb = cur.u64()
+    rows = []
+    m = None
+    for _ in range(nb):
+        mm = cur.u64()
+        if m is None:
+            m = mm
+        elif mm != m:
+            raise InvalidIndex("mapAD .toc: ragged checkpoint rows")
+        rows.append(cur.u64_array(mm))
+    k = struct.unpack("<I", cur.bytes_(4))[0]
+    if not cur.done():
+        raise InvalidIndex("mapAD .toc: trailing bytes")
+    occ = (
+        np.stack(rows).astype(np.int64)
+        if rows else np.zeros((0, 0), np.int64)
+    )
+    return occ, int(k)

@@ -421,6 +421,11 @@ class DeviceSearchEngine:
                 # clearing the stragglers (a step is L-wide whatever the
                 # occupancy)
                 min_live=int(_os.environ.get("MAPAD_KGENS_MIN_LIVE", "32")),
+                # capped spill: clear the budget-starved tail without
+                # letting cap-bound monsters burn whole-pool steps
+                # (uncapped spill measured 5.2k vs 8.8k reads/s at 4 Mbp,
+                # ROADMAP round 5)
+                spill_steps=int(_os.environ.get("MAPAD_SPILL", "768")),
             )
         elif pool_config.backward_only and not self._is_backward_only:
             pool_config = pool_config._replace(backward_only=False)
@@ -434,6 +439,35 @@ class DeviceSearchEngine:
         self._stats = {"device_lanes": 0, "escalated": 0, "oracle": 0,
                        "batches": 0, "fb_secs": 0.0}
         self._params_cache = None
+        # single-process multi-chip: when more than one device is visible
+        # the pool path shards reads over a data mesh (shard_map, index
+        # replicated, per-shard persistent loops -- parallel/pool_sharded)
+        # so one `cli map` saturates the host's chips like the reference's
+        # rayon loop saturates a node (mapping.rs:146-296).  The
+        # escalation/retry/deep tiers run unchanged on the merged result.
+        self.mesh = None
+        self._mesh_index = None
+        self.n_shards = 1
+        import os as _os
+
+        shard_env = _os.environ.get("MAPAD_SHARD")
+        # default ON for real accelerators; the 8-device VIRTUAL cpu mesh
+        # (tests, dryrun) gives no speedup, so there it is opt-in
+        # (MAPAD_SHARD=1) to keep single-device test traces small
+        want_shard = shard_env == "1" or (
+            shard_env is None and jax.default_backend() != "cpu"
+        )
+        if mode == "pool" and want_shard:
+            try:
+                n_dev = len(jax.devices())
+            except Exception:  # pragma: no cover - backend init failure
+                n_dev = 1
+            if n_dev > 1:
+                from ..parallel.sharding import make_mesh, replicate
+
+                self.n_shards = n_dev
+                self.mesh = make_mesh(n_dev)
+                self._mesh_index = replicate(self.mesh, self.device_index)
 
     # --- host-side per-read preparation (exact f32 paths) ---
 
@@ -765,10 +799,15 @@ class DeviceSearchEngine:
         override = getattr(self, "_block_reads", None) or int(
             os.environ.get("MAPAD_BLOCK_READS", 0)
         )
+        D = self.n_shards
         if override:
-            return max(self.pool_config.lanes, override)
-        default = 4096 if self.device_index.big else 8192
-        return max(self.pool_config.lanes, default)
+            r = max(self.pool_config.lanes * D, override)
+        else:
+            # per-shard invocation size scales with the mesh: each shard
+            # runs its own persistent loop over R/D reads
+            r = max(self.pool_config.lanes,
+                    4096 if self.device_index.big else 8192) * D
+        return -(-r // D) * D  # shard_map needs R divisible by the mesh
 
     @block_reads.setter
     def block_reads(self, value: int):
@@ -1128,6 +1167,8 @@ class DeviceSearchEngine:
         fallback path, so fallbacks reuse the block's LUT/penalty rows."""
         if stash is None or i is None:
             return None
+        if "_inv" in stash:
+            i = int(stash["_inv"][i])  # original -> dealt row (sharded)
         return dict(
             pattern_rank=stash["pattern_rank"][i : i + 1],
             pattern_code=stash["pattern_code"][i : i + 1],
@@ -1153,6 +1194,18 @@ class DeviceSearchEngine:
         # bandwidth for short-read workloads
         import os
 
+        if self.mesh is not None:
+            # deal reads round-robin into the mesh's contiguous shard
+            # slices (pool_sharded.round_robin_permutation: positional
+            # correlation makes a contiguous split ~14% step-imbalanced,
+            # round-robin ~12%); _collect_pool recomputes the same
+            # deterministic permutation to un-deal results
+            from ..parallel.pool_sharded import round_robin_permutation
+
+            perm = round_robin_permutation(R, self.n_shards)
+            ext = list(chunk) + [_EMPTY] * (R - len(chunk))
+            chunk = [ext[int(p)] for p in perm]
+
         mlen = max((len(r.sequence) for r in chunk), default=1)
         m_fit = min(cfg.max_len, max(16, -(-mlen // 16) * 16))
         cfg = cfg._replace(max_len=m_fit)
@@ -1169,6 +1222,9 @@ class DeviceSearchEngine:
             [r if len(r.sequence) <= cfg.max_len else _EMPTY for r in chunk],
             cfg.max_len, R, host_bid=host_bid, dev_full=not host_bid,
         )
+        if self.mesh is not None and isinstance(prep.get("_stash"), dict):
+            # stash rows are in dealt order; _stash_row maps through _inv
+            prep["_stash"]["_inv"] = np.argsort(perm)
         logger.debug(
             "pool prep: %.0fms for %d reads (host_bid=%s)",
             (time.perf_counter() - t0) * 1e3, len(chunk), host_bid,
@@ -1190,15 +1246,27 @@ class DeviceSearchEngine:
         compute instead of queueing behind it."""
         cfg, prep, host_bid, t0 = prepped
         stash = prep.pop("_stash", None)
-        kw = (
-            {"slut_packed": prep["slut_packed"]} if host_bid else {}
-        )
-        handle = k_mismatch_search_pool2(
-            self.device_index, prep["pattern_rank"], prep["pattern_code"],
-            prep["n"], prep["score_lut"], prep["pen"], prep["split"],
-            prep["cutoff_scale"], prep["cutoff_thresh"], prep["repr_mm"],
-            params, cfg, **kw,
-        )
+        prep.pop("dev_prep", None)
+        if self.mesh is not None:
+            from ..parallel.pool_sharded import (
+                pool_search_sharded,
+                shard_reads,
+            )
+
+            handle = pool_search_sharded(
+                self.mesh, self._mesh_index,
+                shard_reads(self.mesh, prep), params, cfg,
+            )
+        else:
+            kw = (
+                {"slut_packed": prep["slut_packed"]} if host_bid else {}
+            )
+            handle = k_mismatch_search_pool2(
+                self.device_index, prep["pattern_rank"],
+                prep["pattern_code"], prep["n"], prep["score_lut"],
+                prep["pen"], prep["split"], prep["cutoff_scale"],
+                prep["cutoff_thresh"], prep["repr_mm"], params, cfg, **kw,
+            )
         packed = self._pack_result(handle)
         try:
             packed.copy_to_host_async()
@@ -1229,7 +1297,9 @@ class DeviceSearchEngine:
                 continue
             a = jnp.asarray(a)
             if name == "c_ops":
-                Cn, MW = a.shape
+                MW = a.shape[-1]  # may carry a leading mesh-device axis
+                Cn = int(np.prod(a.shape[:-1]))
+                a = a.reshape(Cn, MW)
                 MW3 = -(-MW // 3) * 3
                 g = jnp.pad(a & 0x1FFFFF, ((0, 0), (0, MW3 - MW)))
                 g = g.reshape(Cn, MW3 // 3, 3).astype(jnp.int64)
@@ -1257,7 +1327,8 @@ class DeviceSearchEngine:
                 continue
             dt = np.dtype(leaf.dtype)
             if name == "c_ops":
-                Cn, MW = leaf.shape
+                MW = leaf.shape[-1]
+                Cn = int(np.prod(leaf.shape[:-1]))
                 MW3 = -(-MW // 3) * 3
                 n_i32 = Cn * (MW3 // 3) * 2
                 w = flat[off : off + n_i32].view(np.int64).reshape(
@@ -1267,7 +1338,7 @@ class DeviceSearchEngine:
                 arr[:, 0::3] = w & 0x1FFFFF
                 arr[:, 1::3] = (w >> 21) & 0x1FFFFF
                 arr[:, 2::3] = (w >> 42) & 0x1FFFFF
-                arr = arr[:, :MW].astype(dt)
+                arr = arr[:, :MW].astype(dt).reshape(leaf.shape)
             elif dt == np.bool_:
                 n_i32 = int(np.prod(leaf.shape))  # packed as int32
             else:
@@ -1303,6 +1374,13 @@ class DeviceSearchEngine:
             "pool collect: device+fetch %.0fms (of %.0fms since dispatch)",
             (time.perf_counter() - t_fetch) * 1e3, elapsed * 1e3,
         )
+        if result.c_read.ndim == 2:
+            # mesh-sharded result (leading device axis): collect per shard
+            # and un-deal back to input order
+            return self._collect_pool_sharded(
+                chunk, result, out, base, t0, abandoned_out, deep_out,
+                count_stats,
+            )
         t_dec = time.perf_counter()
         per_read = elapsed / max(len(chunk), 1)
         read_time = None
@@ -1436,6 +1514,80 @@ class DeviceSearchEngine:
             self._stats["device_lanes"] += len(chunk)
             self._stats["escalated"] += len(escalated)
             self._stats["batches"] += 1
+        return escalated
+
+    def _collect_pool_sharded(self, chunk, result, out, base, t0,
+                              abandoned_out=None, deep_out=None,
+                              count_stats: bool = True):
+        """Collect a mesh-sharded PoolResult (leading device axis).
+
+        Shard d owns dealt slots [d*R/D, (d+1)*R/D) of the block's
+        round-robin deal (_prep_block); each shard collects through the
+        normal single-device path with re-based read ids, then results,
+        escalation and abandon/deep sets un-deal back to input order.
+        Per-cause escalation census is not split in this mode (the shard
+        sub-calls run with count_stats=False)."""
+        from ..parallel.pool_sharded import round_robin_permutation
+
+        D = result.c_read.shape[0]
+        R = self.block_reads
+        perm = round_robin_permutation(R, D)
+        ext = list(chunk) + [_EMPTY] * (R - len(chunk))
+        dealt = [ext[int(p)] for p in perm]
+        R_local = R // D
+        out_d = [None] * R
+        esc_d: set = set()
+        ab_d: set = set()
+        deep_d: set = set()
+        for d in range(D):
+            shard_res = jax.tree.map(lambda x, d=d: x[d], result)
+            lo = d * R_local
+            sub = dealt[lo : lo + R_local]
+            shard_res = shard_res._replace(
+                c_read=np.where(
+                    shard_res.c_read >= 0, shard_res.c_read - lo, -1
+                ),
+                lane_read=np.where(
+                    shard_res.lane_read < R, shard_res.lane_read - lo,
+                    len(sub),
+                ),
+                next_read=min(
+                    max(int(shard_res.next_read) - lo, 0), len(sub)
+                ),
+            )
+            ab_l: set = set()
+            deep_l: set = set()
+            esc = self._collect_pool(
+                sub, shard_res, out_d, lo, t0, ab_l, deep_l,
+                count_stats=False,
+            )
+            esc_d.update(lo + i for i in esc)
+            ab_d.update(lo + i for i in ab_l)
+            deep_d.update(lo + i for i in deep_l)
+
+        n = len(chunk)
+        escalated = set()
+        for j in range(R):
+            oi = int(perm[j])
+            if oi >= n:
+                continue
+            out[base + oi] = out_d[j]
+            if j in esc_d:
+                escalated.add(oi)
+            if abandoned_out is not None and j in ab_d:
+                abandoned_out.add(oi)
+            if deep_out is not None and j in deep_d:
+                deep_out.add(oi)
+        if count_stats:
+            self._stats["device_lanes"] += n
+            self._stats["escalated"] += len(escalated)
+            self._stats["batches"] += 1
+        # per-shard step telemetry: total work / (D x slowest shard) is the
+        # static-split efficiency proxy reported by dryrun_multichip
+        steps = np.asarray(result.steps).reshape(-1).tolist()
+        acc = self._stats.setdefault("shard_steps", [0] * len(steps))
+        for d, s in enumerate(steps):
+            acc[d] += int(s)
         return escalated
 
     def _packed_lane_hits(self, result, lane, split):

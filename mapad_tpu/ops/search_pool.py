@@ -72,6 +72,14 @@ class PoolConfig(NamedTuple):
     # many lanes are live; a thinner tail escalates as before (a step
     # costs the full L-wide work whatever the occupancy).
     min_live: int = 1
+    # Per-generation step budget for the spill generations (0 = no cap:
+    # run until the store refills or all lanes finish).  A small budget
+    # clears the reads that merely needed a little more shared budget
+    # while cap-bound "monster" reads -- which would abandon at
+    # read_step_cap anyway -- stop burning whole-pool steps: the 4 Mbp
+    # chip run with uncapped spill resolved ~1.1k cheap reads per pass
+    # but spent full caps on 2.4k eventual abandons (ROADMAP round 5).
+    spill_steps: int = 0
     # Fixed step count for ablation timing (0 = normal termination)
     debug_fixed_steps: int = 0
 

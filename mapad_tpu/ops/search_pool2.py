@@ -778,9 +778,16 @@ def k_mismatch_search_pool2(
             rs=jnp.full((R + 1,), -1, i32),
         )
 
-        def inner_cond(state):
+        SPILL = max(0, int(config.spill_steps))
+
+        def inner_cond(carry):
+            state, gen_limit = carry
             lane_done, step = state[6], state[18]
-            return jnp.logical_and(step < S, ~jnp.all(lane_done))
+            return jnp.logical_and(step < gen_limit, ~jnp.all(lane_done))
+
+        def inner_body(carry):
+            state, gen_limit = carry
+            return body(state), gen_limit
 
         def append_acc(acc, ext):
             (n_ext, nch, exr, exslot, exab, exlo, exlr, exsz, exsc,
@@ -804,7 +811,7 @@ def k_mismatch_search_pool2(
 
         def boundary(carry):
             """Extract chains, fold the finish log, compact the store."""
-            core, gen, cum, acc = carry
+            core, gen, cum, _gl, acc = carry
             (consumed, bm_key, lane_start, st_pack, read_id, fresh,
              lane_done, next_read, lane_age, c_n, c_split, c_scale,
              c_thresh, c_repr, best_score, best_size, hcount, fin_log,
@@ -869,11 +876,22 @@ def k_mismatch_search_pool2(
                     lane_done, next_read, lane_age, c_n, c_split, c_scale,
                     c_thresh, c_repr, best_score, best_size, hcount,
                     fin_log, step - delta)
-            return core, gen, cum + delta, acc
+            # capped spill: this generation runs at most SPILL more steps
+            # (clearing reads that needed a little more shared budget)
+            # instead of refilling the whole store -- cap-bound monster
+            # reads would abandon either way and each whole-pool step
+            # costs the same whatever the occupancy
+            gl = (
+                jnp.minimum(jnp.int32(S), step - delta + SPILL)
+                if SPILL else jnp.int32(S)
+            )
+            return core, gen, cum + delta, gl, acc
 
         def outer_body(carry):
-            core, gen, cum, acc = carry
-            core = jax.lax.while_loop(inner_cond, body, core)
+            core, gen, cum, gl, acc = carry
+            core, gl = jax.lax.while_loop(
+                inner_cond, inner_body, (core, gl)
+            )
             lane_done, step = core[6], core[18]
             live = jnp.sum(~lane_done, dtype=i32)
             spill = (
@@ -882,23 +900,23 @@ def k_mismatch_search_pool2(
                 & (live >= MIN_LIVE)
                 & (gen + 1 < GENS)
             )
-            core, gen, cum, acc = jax.lax.cond(
-                spill, boundary, lambda c: c, (core, gen, cum, acc)
+            core, gen, cum, gl, acc = jax.lax.cond(
+                spill, boundary, lambda c: c, (core, gen, cum, gl, acc)
             )
-            return core, gen + 1, cum, acc
+            return core, gen + 1, cum, gl, acc
 
         def outer_cond(carry):
-            core, gen, cum, acc = carry
+            core, gen, cum, gl, acc = carry
             lane_done, step = core[6], core[18]
             # gen 0 always runs; later gens only when the previous
-            # iteration compacted (rolled step back below S)
+            # iteration compacted (rolled step back below the limit)
             return (gen == 0) | (
-                (gen < GENS) & (step < S) & ~jnp.all(lane_done)
+                (gen < GENS) & (step < gl) & ~jnp.all(lane_done)
             )
 
-        state, _gen, cum_shift, acc = jax.lax.while_loop(
+        state, _gen, cum_shift, _gl, acc = jax.lax.while_loop(
             outer_cond, outer_body,
-            (state, jnp.int32(0), jnp.int32(0), acc0),
+            (state, jnp.int32(0), jnp.int32(0), jnp.int32(S), acc0),
         )
 
     (consumed, bm_key, lane_start, st_pack, read_id, fresh, lane_done,

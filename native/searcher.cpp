@@ -242,7 +242,15 @@ struct Hit {
 
 }  // namespace
 
+// Per-thread pop counter for the last search_read call (profiling only:
+// tools/monster_profile.py characterizes the deep-search tail).
+static thread_local int64_t g_last_pops = 0;
+
 extern "C" {
+
+// Pops (heap extractions) consumed by the calling thread's last
+// search_read; the search semantics themselves are unaffected.
+int64_t last_search_pops() { return g_last_pops; }
 
 // Batch-resolve suffix-array positions via LF-walks over the sampled SA
 // (reference index/mod.rs:160-187).  positions/out are n_pos-long.
@@ -365,10 +373,12 @@ int search_read(
         heap.push_back(root);
     }
 
+    g_last_pops = 0;
     while (!heap.empty()) {
         std::pop_heap(heap.begin(), heap.end(), cmp);
         Frame f = heap.back();
         heap.pop_back();
+        ++g_last_pops;
 
         bool fwd = f.start <= n - f.start - f.len;
         int32_t j, d_k, d_l;

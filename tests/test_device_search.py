@@ -663,17 +663,20 @@ def test_pool_generations_resume_budget_starved_reads(bench_fixture):
                     read_step_cap=512, max_chains=1024,
                     compute_forward_part=False)
     esc = {}
-    for gens in (1, 4):
-        cfg = PoolConfig(generations=gens, min_live=1, **base_cfg)
+    for gens, spill in ((1, 0), (4, 0), (4, 96)):
+        cfg = PoolConfig(generations=gens, min_live=1, spill_steps=spill,
+                         **base_cfg)
         engine = DeviceSearchEngine(fmd, params, mode="pool",
                                     pool_config=cfg)
         results = engine.search_chunk(_records(reads))
-        esc[gens] = engine._stats["oracle"]
+        esc[gens, spill] = engine._stats["oracle"]
         for (hits, _dur), read in zip(results, reads):
             oracle_hits = oracle_search(read, [40] * len(read), params, fmd)
-            assert_hits_equal(hits, oracle_hits, (gens, read[:16]))
-    assert esc[1] > 0, "starved config should escalate without generations"
-    assert esc[4] < esc[1], esc
+            assert_hits_equal(hits, oracle_hits, (gens, spill, read[:16]))
+    assert esc[1, 0] > 0, "starved config should escalate without generations"
+    assert esc[4, 0] < esc[1, 0], esc
+    # a capped spill resolves at least part of the starved tail
+    assert esc[4, 96] <= esc[1, 0], esc
 
 
 def test_pool_generations_noop_when_budget_suffices(bench_fixture):

@@ -166,3 +166,30 @@ def test_missing_file_message(built, tmp_path):
     assert not is_mapad_native_index(prefix)
     with pytest.raises(InvalidIndex, match="tsa"):
         load_mapad_index(prefix)
+
+
+def test_toc_written_and_roundtrips(built, tmp_path):
+    """save_mapad_index emits all SEVEN reference files including .toc
+    (rust-bio Occ, k=128, inclusive checkpoints -- VERDICT r4 item 7);
+    load_mapad_occ parses it back and the counts match a brute-force
+    occurrence count over the BWT."""
+    from mapad_tpu.index.mapad_native import MAPAD_TOC_OCC_K, load_mapad_occ
+
+    _seqs, fmd, ssa, id_pos, orig = built
+    prefix = os.path.join(tmp_path, "toc")
+    save_mapad_index(prefix, fmd, ssa, id_pos, orig)
+    for suffix in (".tbw", ".tle", ".tsa", ".tpi", ".tos", ".trt", ".toc"):
+        assert os.path.exists(prefix + suffix), suffix
+
+    occ, k = load_mapad_occ(prefix + ".toc")
+    assert k == MAPAD_TOC_OCC_K == 128
+    bwt = np.asarray(fmd.bwt, dtype=np.int64)
+    n = len(bwt)
+    assert occ.shape[0] == -(-n // k)
+    assert occ.shape[1] == int(bwt.max()) + 1
+    for b in range(occ.shape[0]):
+        # rust-bio convention: checkpoint b counts bwt[0 ..= b*k]
+        prefix_counts = np.bincount(
+            bwt[: b * k + 1], minlength=occ.shape[1]
+        )
+        assert (occ[b] == prefix_counts).all(), b

@@ -152,3 +152,78 @@ def test_sharded_pool_kernel_equals_oracle():
             assert np.float32(d.alignment_score) == np.float32(o.alignment_score)
             assert d.edit_operations == o.edit_operations
     assert n_nonempty >= R // 2
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_engine_auto_shard_equals_single(monkeypatch, tmp_path):
+    """DeviceSearchEngine with MAPAD_SHARD=1 builds a mesh over all
+    visible devices and must produce results identical to the
+    single-device engine, including escalation handling (VERDICT r4
+    item 3: multi-chip in the production path, not just the bare
+    kernel)."""
+    import os
+
+    from mapad_tpu.index.builder import build_auxiliary_structures
+    from mapad_tpu.map import AlignmentParameters
+    from mapad_tpu.map.record import Record
+    from mapad_tpu.models import Discrete, SimpleAncientDnaModel
+    from mapad_tpu.ops.engine import DeviceSearchEngine
+    from mapad_tpu.ops.search_pool import PoolConfig
+
+    rng = np.random.default_rng(5)
+    ref = bytes(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), 20000))
+    fmd, _ = build_auxiliary_structures(ref, b"ACGT")
+    dm = SimpleAncientDnaModel(
+        ("single_stranded", 0.475, 0.475), 0.001, 0.9,
+        np.float32(0.02) / np.float32(3.0), False,
+    )
+    repr_mm = dm.get_representative_mismatch_penalty()
+    params = AlignmentParameters(
+        difference_model=dm, mismatch_bound=Discrete(0.04, 0.02, repr_mm),
+        penalty_gap_open=np.log2(np.float32(0.00001)),
+        penalty_gap_extend=repr_mm, chunk_size=1000, gap_dist_ends=5,
+        stack_limit_abort=False, max_num_gaps_open=2,
+    )
+    reads = []
+    for i in range(96):
+        ln = int(rng.integers(24, 90))
+        start = int(rng.integers(0, len(ref) - ln))
+        seq = bytearray(ref[start : start + ln])
+        for _ in range(int(rng.integers(0, 3))):
+            seq[int(rng.integers(0, ln))] = int(
+                rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8))
+            )
+        reads.append(Record(sequence=bytes(seq),
+                            base_qualities=bytes([40] * ln)))
+    # a couple of exogenous reads so escalation paths are exercised too
+    for _ in range(4):
+        reads.append(Record(
+            sequence=bytes(rng.choice(
+                np.frombuffer(b"ACGT", dtype=np.uint8), 60)),
+            base_qualities=bytes([40] * 60),
+        ))
+
+    cfg = PoolConfig(max_len=128, lanes=8, total_steps=2048,
+                     read_step_cap=512, max_chains=2048,
+                     compute_forward_part=False, generations=2)
+
+    def run(shard: str):
+        monkeypatch.setenv("MAPAD_SHARD", shard)
+        monkeypatch.setenv("MAPAD_BLOCK_READS", "32")
+        engine = DeviceSearchEngine(fmd, params, mode="pool",
+                                    pool_config=cfg)
+        if shard == "1":
+            assert engine.mesh is not None and engine.n_shards >= 4
+            assert engine.block_reads % engine.n_shards == 0
+        else:
+            assert engine.mesh is None
+        return engine.search_chunk(reads), engine
+
+    (single, _), (sharded, eng) = run("0"), run("1")
+    for (ha, _da), (hb, _db), rec in zip(single, sharded, reads):
+        assert len(ha) == len(hb), rec.sequence[:16]
+        for a, b in zip(ha, hb):
+            assert a.interval == b.interval
+            assert np.float32(a.alignment_score) == np.float32(
+                b.alignment_score)
+            assert a.edit_operations == b.edit_operations

@@ -42,6 +42,8 @@ KNOBS = [
     "MAPAD_DEEP_TIER", "MAPAD_DEEP_BLOCK", "MAPAD_RETRY_GENS",
     "MAPAD_RETRY_MIN", "MAPAD_DEEP_CAP", "MAPAD_POOL_CAP",
     "MAPAD_POOL_STEPS", "MAPAD_HOST_BID", "MAPAD_BLOCK_READS",
+    "MAPAD_KGENS", "MAPAD_SPILL", "MAPAD_KGENS_MIN_LIVE",
+    "MAPAD_DEEP_KGENS",
 ]
 
 
@@ -78,7 +80,8 @@ def main():
     # knobs read at engine CONSTRUCTION: a config touching these (or
     # ENGINE=) forces a rebuild; everything else is read per call, so the
     # engine (and its staged occ rows -- 3.4 GB at hg19 scale) is reused
-    BUILD_KNOBS = {"MAPAD_POOL_CAP", "MAPAD_POOL_STEPS"}
+    BUILD_KNOBS = {"MAPAD_POOL_CAP", "MAPAD_POOL_STEPS", "MAPAD_KGENS",
+                   "MAPAD_SPILL", "MAPAD_KGENS_MIN_LIVE"}
     engine = None
     engine_sig = None
 

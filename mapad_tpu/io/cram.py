@@ -372,9 +372,12 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
         from .rans_nx16 import decode as _nx16_decode
 
         return _nx16_decode(data, raw_size)
-    if method in (M_ARITH, M_FQZCOMP, M_TOK3):
+    if method == M_ARITH:
+        from .arith import decode as _arith_decode
+
+        return _arith_decode(data, raw_size)
+    if method in (M_FQZCOMP, M_TOK3):
         name = {
-            M_ARITH: "adaptive arithmetic",
             M_FQZCOMP: "fqzcomp",
             M_TOK3: "name-tokenizer",
         }[method]
@@ -1050,6 +1053,10 @@ def _compress_block(method: int, data: bytes) -> bytes:
         from .rans_nx16 import encode as _nx16_encode
 
         return _nx16_encode(data)
+    if method == M_ARITH:
+        from .arith import ORDER1, encode as _arith_encode
+
+        return _arith_encode(data, ORDER1)
     raise NotImplementedError(method)
 
 

@@ -44,7 +44,8 @@ def _load():
             and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
         ):
             subprocess.run(
-                ["g++", "-O2", "-ffp-contract=off", "-shared", "-fPIC",
+                ["g++", "-O3", "-march=native", "-funroll-loops",
+                 "-ffp-contract=off", "-shared", "-fPIC",
                  "-pthread", "-o", _LIB, _SRC],
                 check=True, capture_output=True,
             )

@@ -363,6 +363,22 @@ int search_read(
             return;
         }
         f.counter = counter++;
+        // Prefetch the occ rows this frame's NEXT extension will touch
+        // (known at push time: direction from start/len).  At genome
+        // scale the BWT + checkpoint arrays are many GB and each pop is
+        // otherwise two dependent DRAM-latency stalls; pushes precede
+        // pops by enough work to hide most of it (semantically inert).
+        {
+            bool nfwd = f.start <= n - f.start - f.len;
+            int64_t lo = nfwd ? f.iv.lower_rev : f.iv.lower;
+            int64_t r1 = lo - 1, r2 = lo + f.iv.size - 1;
+            if (r1 >= 0) {
+                __builtin_prefetch(&idx.bwt[r1], 0, 1);
+                __builtin_prefetch(&idx.occ_cp[(r1 / idx.occ_k) * 6], 0, 1);
+            }
+            __builtin_prefetch(&idx.bwt[r2], 0, 1);
+            __builtin_prefetch(&idx.occ_cp[(r2 / idx.occ_k) * 6], 0, 1);
+        }
         heap.push_back(f);
         std::push_heap(heap.begin(), heap.end(), cmp);
     };

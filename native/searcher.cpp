@@ -60,8 +60,21 @@ static void extend_all(const FmIndex& idx, const BiInterval& iv,
                        BiInterval out[4]) {
     int64_t lower = iv.lower, size = iv.size;
     int64_t lo_cnt[6] = {0, 0, 0, 0, 0, 0}, hi_cnt[6];
-    if (lower != 0) idx.occ_all(lower - 1, lo_cnt);
-    idx.occ_all(lower + size - 1, hi_cnt);
+    int64_t r1 = lower - 1, r2 = lower + size - 1;
+    if (lower != 0 && r1 / idx.occ_k == r2 / idx.occ_k) {
+        // deep frames have tiny intervals, so both occ positions usually
+        // share one checkpoint block: a single scan captures the counts
+        // at r1 and continues to r2, instead of re-scanning the prefix
+        int64_t b = r1 / idx.occ_k;
+        for (int c = 0; c < 6; c++) lo_cnt[c] = idx.occ_cp[b * 6 + c];
+        int64_t i = b * idx.occ_k;
+        for (; i <= r1; i++) lo_cnt[idx.bwt[i]]++;
+        for (int c = 0; c < 6; c++) hi_cnt[c] = lo_cnt[c];
+        for (; i <= r2; i++) hi_cnt[idx.bwt[i]]++;
+    } else {
+        if (lower != 0) idx.occ_all(r1, lo_cnt);
+        idx.occ_all(r2, hi_cnt);
+    }
     int64_t s = hi_cnt[0] - lo_cnt[0];  // sentinel occurrences
     int64_t l = iv.lower_rev;
     int slot = 0;

@@ -408,6 +408,24 @@ int search_read(
         Frame f = heap.back();
         heap.pop_back();
         ++g_last_pops;
+        if (!heap.empty()) {
+            // Speculatively prefetch the likely NEXT pop's occ rows so
+            // its two DRAM fetches overlap this frame's extension work.
+            // Push-time prefetch (check_and_push) covers fresh frames,
+            // but deep searches pop frames pushed long ago whose lines
+            // have been evicted; heap.front() is the next pop unless a
+            // push of this iteration beats it.
+            const Frame& nx = heap.front();
+            bool nxf = nx.start <= n - nx.start - nx.len;
+            int64_t nlo = nxf ? nx.iv.lower_rev : nx.iv.lower;
+            int64_t nr1 = nlo - 1, nr2 = nlo + nx.iv.size - 1;
+            if (nr1 >= 0) {
+                __builtin_prefetch(&idx.bwt[nr1], 0, 2);
+                __builtin_prefetch(&idx.occ_cp[(nr1 / idx.occ_k) * 6], 0, 2);
+            }
+            __builtin_prefetch(&idx.bwt[nr2], 0, 2);
+            __builtin_prefetch(&idx.occ_cp[(nr2 / idx.occ_k) * 6], 0, 2);
+        }
 
         bool fwd = f.start <= n - f.start - f.len;
         int32_t j, d_k, d_l;

@@ -1141,6 +1141,11 @@ class DeviceSearchEngine:
             lanes=lanes, total_steps=steps, read_step_cap=cap,
             generations=kgens,
             min_live=int(os.environ.get("MAPAD_KGENS_MIN_LIVE", "32")),
+            # deep spills run UNCAPPED (each boundary frees S - cap
+            # steps): monsters here have already shown they need large
+            # budgets, unlike the primary config's bounded spill that
+            # only mops up the budget-starved tail
+            spill_steps=int(os.environ.get("MAPAD_DEEP_SPILL", "0")),
         )
 
     def warm(self, records):

@@ -415,7 +415,11 @@ class DeviceSearchEngine:
                 # in-place store compaction (~10 ms) instead of
                 # escalating to a fresh retry invocation or the host
                 # fallback (ops/search_pool.py PoolConfig.generations)
-                generations=int(_os.environ.get("MAPAD_KGENS", "2")),
+                # default 1 until the capped-spill sweep lands on chip:
+                # uncapped spill measured 5.2k vs 8.8k reads/s at 4 Mbp
+                # (ROADMAP round 5); the deep tier keeps its own
+                # generations either way
+                generations=int(_os.environ.get("MAPAD_KGENS", "1")),
                 # below this many live lanes another spill generation
                 # costs more device time than the host fallback pool
                 # clearing the stragglers (a step is L-wide whatever the

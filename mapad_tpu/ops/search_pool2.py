@@ -822,21 +822,20 @@ def k_mismatch_search_pool2(
             if config.track_read_steps:
                 acc["rs"] = fold_read_steps(fin_log, acc["rs"])
                 fin_log = jnp.full_like(fin_log, -1)
-            delta = jnp.min(
-                jnp.where(
-                    lane_done, jnp.int32(S), jnp.minimum(lane_start, S)
-                )
-            )
-            # shift the store down by delta block rows (blk = S-1-t, so
-            # t -> t - delta is row -> row + delta); row S (ROOT) and the
-            # vacated top rows stay zero
-            rows = jnp.arange(NB9)
-            src = rows - delta
-            keep = (src >= 0) & (rows < S)
-            shifted = jnp.where(
-                keep[None, :, None],
-                jnp.take(st_pack, jnp.clip(src, 0, S), axis=1),
-                0,
+            # STATIC shift distance: every live lane has lane_start >=
+            # S - CAP (the abandon cap bounds residency), so S - CAP is
+            # always a safe delta -- and a static delta turns the store
+            # shift into pure slice copies and the ring roll into a
+            # static rotation (the first chip measurement showed a
+            # dynamic-index boundary costing ~240 ms/launch)
+            delta = jnp.int32(S - CAP)
+            shifted = jnp.concatenate(
+                [
+                    jnp.zeros((L, S - CAP, BW), i32),
+                    st_pack[:, : NB9 - (S - CAP) - 1],
+                    jnp.zeros((L, 1, BW), i32),  # ROOT row stays zero
+                ],
+                axis=1,
             )
             # remap parent slots (+9*delta; ROOT fixed -- live frames'
             # ancestors are all within their lane's window, which moved
@@ -868,9 +867,9 @@ def k_mismatch_search_pool2(
             )
             # pop rings: slot s holds step t with t === s (mod RB); after
             # t -> t - delta the entry for new slot s sat at (s+delta)%RB
-            ring_src = jnp.remainder(jnp.arange(RB) + delta, RB)
-            consumed = jnp.take(consumed, ring_src, axis=1)
-            bm_key = jnp.take(bm_key, ring_src, axis=1)
+            # (static rotation)
+            consumed = jnp.roll(consumed, -((S - CAP) % RB), axis=1)
+            bm_key = jnp.roll(bm_key, -((S - CAP) % RB), axis=1)
             lane_start = jnp.maximum(lane_start - delta, 0)
             core = (consumed, bm_key, lane_start, st_pack, read_id, fresh,
                     lane_done, next_read, lane_age, c_n, c_split, c_scale,

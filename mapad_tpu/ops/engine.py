@@ -876,9 +876,20 @@ class DeviceSearchEngine:
         params = self._params()
         self._ensure_native()
         fb_pool = self._fallback_pool()
-        if getattr(self, "_prep_exec", None) is None:
+        # MAPAD_INFLIGHT: device invocations in flight (each holds a
+        # multi-GB frame store); MAPAD_PREP_THREADS: concurrent block
+        # preps (the LUT/Bi-D/blob stage can become the pipeline limit
+        # when the host is otherwise idle)
+        max_in_flight = int(
+            os.environ.get("MAPAD_INFLIGHT", str(max_in_flight))
+        )
+        prep_threads = int(os.environ.get("MAPAD_PREP_THREADS", "1"))
+        if getattr(self, "_prep_exec", None) is None or (
+            getattr(self, "_prep_threads", 1) != prep_threads
+        ):
+            self._prep_threads = prep_threads
             self._prep_exec = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="pool-prep"
+                max_workers=prep_threads, thread_name_prefix="pool-prep"
             )
         it = iter(blocks)
         prep_q: deque = deque()  # (key, records, Future[prepped])
@@ -960,7 +971,7 @@ class DeviceSearchEngine:
         def refill_prep():
             nonlocal exhausted
             # 1 prep running + 1 queued behind it keeps the prep thread busy
-            while len(prep_q) < 2:
+            while len(prep_q) < prep_threads + 1:
                 # an accumulated retry/deep block is ready work: prefer it
                 # over new input, and flush stragglers when the input and
                 # pipeline have drained

@@ -43,7 +43,8 @@ KNOBS = [
     "MAPAD_RETRY_MIN", "MAPAD_DEEP_CAP", "MAPAD_POOL_CAP",
     "MAPAD_POOL_STEPS", "MAPAD_HOST_BID", "MAPAD_BLOCK_READS",
     "MAPAD_KGENS", "MAPAD_SPILL", "MAPAD_KGENS_MIN_LIVE",
-    "MAPAD_DEEP_KGENS",
+    "MAPAD_DEEP_KGENS", "MAPAD_INFLIGHT", "MAPAD_PREP_THREADS",
+    "MAPAD_DEEP_SPILL",
 ]
 
 

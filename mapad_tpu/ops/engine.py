@@ -952,6 +952,12 @@ class DeviceSearchEngine:
         deep_gens = int(os.environ.get("MAPAD_DEEP_GENS", "2"))
         deep_buf: list = []  # (Future, record, gen)
         _DEEP = object()  # sentinel key: internal deep block
+        # route no-hit escalatees straight to the host instead of the
+        # deep tier (default on with the tier; MAPAD_DEEP_NOHIT_HOST=0
+        # restores unconditional deep routing)
+        deep_nohit_host = deep_tier and (
+            os.environ.get("MAPAD_DEEP_NOHIT_HOST", "1") == "1"
+        )
 
         def fb_submit(rec, stash_i, stash, fut=None):
             f = fb_pool.submit(self._fallback_value, [rec], 0,
@@ -1042,13 +1048,14 @@ class DeviceSearchEngine:
             out = [None] * len(recs)
             abandoned: set = set()
             deep: set = set()
+            nohits: set = set()
             tier = (
                 key[0] if isinstance(key, tuple) and key
                 and key[0] in (_RETRY, _DEEP) else None
             )
             escalated = self._collect_pool(
                 recs, launched, out, 0, launched[2], abandoned, deep,
-                count_stats=tier is None,
+                count_stats=tier is None, nohit_out=nohits,
             )
             stash = launched[3]
 
@@ -1077,8 +1084,14 @@ class DeviceSearchEngine:
                 # deep blocks may re-enter the deep tier up to deep_gens
                 # passes: each pass carries fewer survivors, so the budget
                 # share per read grows geometrically and only the true
-                # monster tail reaches the host
+                # monster tail reaches the host.  NO-HIT escalatees skip
+                # the tier when nohit-to-host routing is on: they are
+                # mostly exogenous searches past the deep cap
+                # (monster_profile: no-hit p50 ~15k pops) that would
+                # abandon after burning the whole deep budget
                 if deep_tier and gen < deep_gens and (
+                    not (deep_nohit_host and i is not None and i in nohits)
+                ) and (
                     0 < len(rec.sequence) <= cfg.max_len
                 ):
                     fut = fut or Future()
@@ -1377,7 +1390,8 @@ class DeviceSearchEngine:
     def _collect_pool(self, chunk, handle, out, base, t0,
                       abandoned_out: set | None = None,
                       deep_out: set | None = None,
-                      count_stats: bool = True):
+                      count_stats: bool = True,
+                      nohit_out: set | None = None):
         t_fetch = time.perf_counter()
         if isinstance(handle, tuple) and not hasattr(handle, "_fields"):
             # launched tuple from _launch_block: the pack was dispatched at
@@ -1468,6 +1482,17 @@ class DeviceSearchEngine:
             rid_range = np.arange(len(chunk))
             starts = np.searchsorted(crs, rid_range)
             ends = np.searchsorted(crs, rid_range, side="right")
+            if nohit_out is not None:
+                # escalated reads with ZERO hits recorded so far: at
+                # genome scale 66% of deep (monster) reads are no-hit
+                # exogenous searches with median ~15k pops
+                # (tools/monster_profile.py) -- the deep tier's cap
+                # abandons them after burning its whole per-read budget
+                # and they land on the host anyway, so the router sends
+                # them straight there
+                nohit_out.update(
+                    i for i in escalated if starts[i] == ends[i]
+                )
             if self.packed_hits:
                 from ..map.native_post import _EMPTY_PACKED, PackedHits
 
@@ -1538,7 +1563,7 @@ class DeviceSearchEngine:
 
     def _collect_pool_sharded(self, chunk, result, out, base, t0,
                               abandoned_out=None, deep_out=None,
-                              count_stats: bool = True):
+                              count_stats: bool = True, nohit_out=None):
         """Collect a mesh-sharded PoolResult (leading device axis).
 
         Shard d owns dealt slots [d*R/D, (d+1)*R/D) of the block's
@@ -1559,6 +1584,7 @@ class DeviceSearchEngine:
         esc_d: set = set()
         ab_d: set = set()
         deep_d: set = set()
+        nh_d: set = set()
         for d in range(D):
             shard_res = jax.tree.map(lambda x, d=d: x[d], result)
             lo = d * R_local
@@ -1577,13 +1603,15 @@ class DeviceSearchEngine:
             )
             ab_l: set = set()
             deep_l: set = set()
+            nh_l: set = set()
             esc = self._collect_pool(
                 sub, shard_res, out_d, lo, t0, ab_l, deep_l,
-                count_stats=False,
+                count_stats=False, nohit_out=nh_l,
             )
             esc_d.update(lo + i for i in esc)
             ab_d.update(lo + i for i in ab_l)
             deep_d.update(lo + i for i in deep_l)
+            nh_d.update(lo + i for i in nh_l)
 
         n = len(chunk)
         escalated = set()
@@ -1598,6 +1626,8 @@ class DeviceSearchEngine:
                 abandoned_out.add(oi)
             if deep_out is not None and j in deep_d:
                 deep_out.add(oi)
+            if nohit_out is not None and j in nh_d:
+                nohit_out.add(oi)
         if count_stats:
             self._stats["device_lanes"] += n
             self._stats["escalated"] += len(escalated)

@@ -287,6 +287,9 @@ def test_deep_tier_resolves_abandons_on_device(bench_fixture, monkeypatch):
 
     monkeypatch.setenv("MAPAD_RETRY_TIER", "1")
     monkeypatch.setenv("MAPAD_DEEP_TIER", "1")
+    # exercise the tier itself: keep no-hit escalatees in the deep path
+    # (production routes them host-ward, ops/engine.py deep_nohit_host)
+    monkeypatch.setenv("MAPAD_DEEP_NOHIT_HOST", "0")
     ref, fmd, _ = bench_fixture
     params = _adna_params()
     reads = [
@@ -316,6 +319,7 @@ def test_narrow_deep_tier_oracle_equal(bench_fixture, monkeypatch):
 
     monkeypatch.setenv("MAPAD_RETRY_TIER", "1")
     monkeypatch.setenv("MAPAD_DEEP_TIER", "1")
+    monkeypatch.setenv("MAPAD_DEEP_NOHIT_HOST", "0")
     monkeypatch.setenv("MAPAD_DEEP_LANES", "4")
     ref, fmd, _ = bench_fixture
     params = _adna_params()

@@ -936,7 +936,7 @@ class DeviceSearchEngine:
         # big (int64) mode enables this by default; MAPAD_DEEP_TIER=1/0
         # forces.  Deep blocks are kept partially filled (R//4 by
         # default) so each deep read gets a large budget share.
-        deep_tier = retry_enabled and self.deep_tier_enabled()
+        deep_tier = lazy_fallback and self.deep_tier_enabled()
         cfg_deep = self._deep_config(cfg)
         # hg19 sweep (ROADMAP round 4): deep_block=R//8 (512 at the big-mode
         # R=4096) beat R//4 -- smaller deep blocks give each deep read a
@@ -1097,6 +1097,10 @@ class DeviceSearchEngine:
                     fut = fut or Future()
                     deep_buf.append((fut, rec, gen + 1))
                     return fut
+                if deep_nohit_host and i is not None and i in nohits:
+                    self._stats["nohit_host"] = (
+                        self._stats.get("nohit_host", 0) + 1
+                    )
                 self._stats["oracle"] += 1
                 return fb_submit(rec, i, stash, fut)
 

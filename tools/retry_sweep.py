@@ -44,7 +44,8 @@ KNOBS = [
     "MAPAD_POOL_STEPS", "MAPAD_HOST_BID", "MAPAD_BLOCK_READS",
     "MAPAD_KGENS", "MAPAD_SPILL", "MAPAD_KGENS_MIN_LIVE",
     "MAPAD_DEEP_KGENS", "MAPAD_INFLIGHT", "MAPAD_PREP_THREADS",
-    "MAPAD_DEEP_SPILL",
+    "MAPAD_DEEP_SPILL", "MAPAD_DEEP_NOHIT_HOST", "MAPAD_DEEP_LANES",
+    "MAPAD_DEEP_STEPS", "MAPAD_DEEP_GENS",
 ]
 
 
@@ -121,7 +122,7 @@ def main():
         for k in ("escalated", "oracle", "device_lanes"):
             stats[k] = 0
         stats["fb_secs"] = 0.0
-        for k in ("retried", "deep_retried", "esc_why"):
+        for k in ("retried", "deep_retried", "esc_why", "nohit_host"):
             stats.pop(k, None)
         best = float("inf")
         for _ in range(repeats):
@@ -139,7 +140,8 @@ def main():
             f"{name}: {len(reads) / best:.0f} reads/s ({best:.2f}s) "
             f"mapped={n_mapped} esc={s['escalated']} "
             f"retried={s.get('retried', 0)}+{s.get('deep_retried', 0)}deep "
-            f"host={s['oracle']} fb={s.get('fb_secs', 0.0):.1f}core-s "
+            f"host={s['oracle']} nohit={s.get('nohit_host', 0)} "
+            f"fb={s.get('fb_secs', 0.0):.1f}core-s "
             f"p={getattr(engine, '_p', 1.0):.2f} why={s.get('esc_why')}",
             flush=True,
         )

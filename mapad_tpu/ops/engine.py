@@ -780,10 +780,14 @@ class DeviceSearchEngine:
         import os
         from concurrent.futures import ThreadPoolExecutor
 
-        if getattr(self, "_fb_pool", None) is None:
-            self._fb_pool = ThreadPoolExecutor(
-                max_workers=max(1, (os.cpu_count() or 2) - 1)
-            )
+        n = int(os.environ.get("MAPAD_FB_THREADS", "0")) or max(
+            1, (os.cpu_count() or 2) - 1
+        )
+        if getattr(self, "_fb_pool", None) is None or (
+            getattr(self, "_fb_threads", 0) != n
+        ):
+            self._fb_threads = n
+            self._fb_pool = ThreadPoolExecutor(max_workers=n)
         return self._fb_pool
 
     # --- persistent-pool path ---

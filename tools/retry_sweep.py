@@ -45,7 +45,7 @@ KNOBS = [
     "MAPAD_KGENS", "MAPAD_SPILL", "MAPAD_KGENS_MIN_LIVE",
     "MAPAD_DEEP_KGENS", "MAPAD_INFLIGHT", "MAPAD_PREP_THREADS",
     "MAPAD_DEEP_SPILL", "MAPAD_DEEP_NOHIT_HOST", "MAPAD_DEEP_LANES",
-    "MAPAD_DEEP_STEPS", "MAPAD_DEEP_GENS",
+    "MAPAD_DEEP_STEPS", "MAPAD_DEEP_GENS", "MAPAD_FB_THREADS",
 ]
 
 

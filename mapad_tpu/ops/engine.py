@@ -907,12 +907,13 @@ class DeviceSearchEngine:
         # the host cores they free -- while at hg19 scale the host
         # fallback is ~24 ms/read and the tiers win by an order of
         # magnitude.  MAPAD_RETRY_TIER=1/0 forces.
+        # default OFF everywhere since round 5: with the 17% faster host
+        # fallback, retry invocations cost more device time than the host
+        # cores they free even at hg19 (v3 sweep: retry tiers 754-765 vs
+        # 1,576-1,615 reads/s without; ROADMAP).  MAPAD_RETRY_TIER=1
+        # forces on.
         env_retry = os.environ.get("MAPAD_RETRY_TIER")
-        retry_enabled = lazy_fallback and (
-            env_retry == "1"
-            or (env_retry is None
-                and bool(getattr(self.device_index, "big", False)))
-        )
+        retry_enabled = lazy_fallback and env_retry == "1"
         retry_gens = int(os.environ.get("MAPAD_RETRY_GENS", "2"))
         # below this, one more device invocation costs more than the host
         # fallback pool clearing the stragglers
@@ -953,7 +954,11 @@ class DeviceSearchEngine:
         # hg19 sweep: 2 deep passes beat 1 (resolves ~6% more on device)
         # and 3 (a third pass re-runs monsters from scratch for nothing):
         # 886 vs 786 vs 708 reads/s (ROADMAP round 4)
-        deep_gens = int(os.environ.get("MAPAD_DEEP_GENS", "2"))
+        # one outer pass: in-kernel spill generations RESUME survivors
+        # within the deep invocation, which beat outer re-entry (775 vs
+        # 527-721 in the v2 hg19 sweep) -- re-entry pays prep + dispatch
+        # + a from-scratch re-run
+        deep_gens = int(os.environ.get("MAPAD_DEEP_GENS", "1"))
         deep_buf: list = []  # (Future, record, gen)
         _DEEP = object()  # sentinel key: internal deep block
         # route no-hit escalatees straight to the host instead of the
@@ -1150,8 +1155,14 @@ class DeviceSearchEngine:
         import os
 
         cfg = cfg or self.pool_config
+        # half-width deep (256 lanes at the production 512): the v4 hg19
+        # sweep measured 1,823 reads/s at L/2 vs 1,588 at L/4 -- the
+        # wider pool keeps occupancy through the monster tail and its
+        # cap (L*CAP budget / lanes = 8192) still covers the with-hit
+        # escalatee pop distribution (hit-read p95 ~7k pops,
+        # tools/monster_profile.py)
         lanes = int(os.environ.get(
-            "MAPAD_DEEP_LANES", str(min(cfg.lanes, max(32, cfg.lanes // 4)))
+            "MAPAD_DEEP_LANES", str(min(cfg.lanes, max(32, cfg.lanes // 2)))
         ))
         # clamp env overrides: lanes=0 would divide by zero below, and
         # lanes > cfg.lanes would silently grow the L*S frame store past

@@ -1155,14 +1155,15 @@ class DeviceSearchEngine:
         import os
 
         cfg = cfg or self.pool_config
-        # half-width deep (256 lanes at the production 512): the v4 hg19
-        # sweep measured 1,823 reads/s at L/2 vs 1,588 at L/4 -- the
-        # wider pool keeps occupancy through the monster tail and its
-        # cap (L*CAP budget / lanes = 8192) still covers the with-hit
-        # escalatee pop distribution (hit-read p95 ~7k pops,
-        # tools/monster_profile.py)
+        # FULL-width deep: the v4/v5 hg19 sweeps ordered L=512 > 256 >
+        # 128 within every sweep window (wider pools keep occupancy
+        # through the monster tail); at full width the derived cap is
+        # the 8192 budget share, which covers the with-hit escalatee
+        # pop distribution (hit-read p95 ~7k pops,
+        # tools/monster_profile.py) now that no-hit reads route to the
+        # host instead
         lanes = int(os.environ.get(
-            "MAPAD_DEEP_LANES", str(min(cfg.lanes, max(32, cfg.lanes // 2)))
+            "MAPAD_DEEP_LANES", str(max(32, cfg.lanes))
         ))
         # clamp env overrides: lanes=0 would divide by zero below, and
         # lanes > cfg.lanes would silently grow the L*S frame store past

@@ -1141,17 +1141,18 @@ class DeviceSearchEngine:
         return bool(getattr(self.device_index, "big", False))
 
     def _deep_config(self, cfg: "PoolConfig | None" = None) -> "PoolConfig":
-        """Narrow-deep pool: fewer lanes x more steps at the SAME frame
-        store (L*S rows of 512 B, the HBM budget) raises the per-read pop
-        ceiling -- the primary config abandons a read after read_step_cap
-        pops and a deep re-run can only spend up to total_steps, so
-        "monster" reads (deep repeat searches; ~9% of reads at hg19 scale)
-        always ended on the ~24 ms/read host fallback.  The per-step pop
-        structures are VMEM-resident only while L*CAP stays within the
-        measured budget (512*4096 entries, ROADMAP round 2), so the deep
-        cap rides that curve: L/4 lanes buys a 4x larger per-read cap at
-        unchanged per-step pop cost.  MAPAD_DEEP_LANES / MAPAD_DEEP_STEPS /
-        MAPAD_DEEP_CAP override."""
+        """Deep-tier pool config: a larger per-read pop ceiling for
+        escalated reads that showed hits (no-hit escalatees route to the
+        host instead, search_stream).  Default shape after the round-5
+        hg19 sweeps: FULL width (same lanes/steps as primary, cap = the
+        8192-pop L*CAP budget share, single generation) -- wider pools
+        kept occupancy through the monster tail and beat every narrow
+        variant in-window (ROADMAP round 5).  Narrowing via
+        MAPAD_DEEP_LANES trades width for a higher per-read cap at the
+        same frame store (L/2 lanes -> 2x steps) and enables the
+        in-kernel spill generations (MAPAD_DEEP_KGENS) so survivors
+        resume across store fills; MAPAD_DEEP_STEPS / MAPAD_DEEP_CAP
+        override directly."""
         import os
 
         cfg = cfg or self.pool_config

@@ -406,8 +406,19 @@ class DeviceSearchEngine:
                 # 12% escalations at CAP=1024 made the 4-core host the
                 # bottleneck while the chip sat idle)
                 # CAP=8192 regressed e2e 3.3k -> 2.1k: the dense pop scans
-                # are O(L*CAP) per step and dominate past ~4096
-                read_step_cap=min(cap_env or 4096, pool_steps),
+                # are O(L*CAP) per step and dominate past ~4096.  At 4 Mbp
+                # 3072 beat 4096 at 10,080 vs 9,710 reads/s (same-window
+                # min-of-3, round 5): the cheaper per-step scan wins more
+                # than the extra ~1.3% abandons cost, and earlier monster
+                # abandons free lanes for pool reads (escalations FELL).
+                # Genome-scale (big) keeps 4096: its pop distribution is
+                # much heavier (>4096 pops = 13% of reads there) and the
+                # 3072 trade is unmeasured at that balance.
+                read_step_cap=min(
+                    cap_env
+                    or (4096 if self.device_index.big else 3072),
+                    pool_steps,
+                ),
                 compute_forward_part=config.compute_forward_part,
                 backward_only=self._is_backward_only,
                 # in-kernel store generations: unfinished/undispatched

@@ -376,15 +376,15 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
         from .arith import decode as _arith_decode
 
         return _arith_decode(data, raw_size)
-    if method in (M_FQZCOMP, M_TOK3):
-        name = {
-            M_FQZCOMP: "fqzcomp",
-            M_TOK3: "name-tokenizer",
-        }[method]
+    if method == M_FQZCOMP:
+        from .fqzcomp import decode as _fqz_decode
+
+        return _fqz_decode(data, raw_size)
+    if method == M_TOK3:
         raise InvalidInputType(
-            f"CRAM 3.1 {name} codec (method {method}) is not supported; "
+            "CRAM 3.1 name-tokenizer codec (method 8) is not supported; "
             "recompress with e.g. `samtools view -O cram,version=3.0` or "
-            "`... -O cram,use_tok=0,use_fqz=0,use_arith=0`"
+            "`... -O cram,use_tok=0`"
         )
     raise InvalidInputType(
         f"CRAM: unsupported block compression method {method}"
@@ -1038,7 +1038,11 @@ class BitWriter:
         return bytes(self.out)
 
 
-def _compress_block(method: int, data: bytes) -> bytes:
+def _compress_block(method: int, data: bytes, lens=None) -> bytes:
+    if method == M_FQZCOMP:
+        from .fqzcomp import encode as _fqz_encode
+
+        return _fqz_encode(data, lens)
     if method == M_RAW:
         return data
     if method == M_GZIP:
@@ -1061,8 +1065,8 @@ def _compress_block(method: int, data: bytes) -> bytes:
 
 
 def _raw_block(content_type: int, content_id: int, data: bytes,
-               method: int = M_RAW) -> bytes:
-    comp = _compress_block(method, data)
+               method: int = M_RAW, lens=None) -> bytes:
+    comp = _compress_block(method, data, lens)
     head = (
         bytes([method, content_type])
         + encode_itf8(content_id)
@@ -1107,6 +1111,10 @@ class CramWriter:
                  block_method=M_GZIP, detached=True, version=(3, 0)):
         self._f = fileobj
         self.use_bit_codecs = use_bit_codecs
+        # block_method: one method for every external block, or a dict
+        # {content_id: method} (missing ids fall back to gzip) -- lets a
+        # fixture apply the stream-specific 3.1 codecs (fqzcomp on QS)
+        # the way real writers do
         self.block_method = block_method
         self.detached = detached
         self.counter = 0
@@ -1213,6 +1221,7 @@ class CramWriter:
             add_int(enc[1], value)
 
         n_bases = 0
+        qs_lens = []  # per-append QS framing for the fqzcomp encoder
         for rec in records:
             seq = rec.get("seq", b"")
             quals = rec.get("quals", b"\xff" * len(seq))
@@ -1258,13 +1267,16 @@ class CramWriter:
                     elif fc == "B":
                         ext[8] += bytes([feat[2]])
                         ext[9] += bytes([feat[3]])
+                        qs_lens.append(1)
                     else:
                         raise NotImplementedError(fc)
                 add_int(19, rec.get("mapq", 0))
                 ext[9] += quals
+                qs_lens.append(len(quals))
             else:
                 ext[8] += seq
                 ext[9] += quals
+                qs_lens.append(len(quals))
 
         # compression header
         pres_entries = [
@@ -1306,9 +1318,13 @@ class CramWriter:
         blocks = [comp_block, _raw_block(CT_SLICE_HEADER, 0, slice_head),
                   _raw_block(CT_CORE, 0, core.getvalue())]
         for i in ext_ids:
+            if isinstance(self.block_method, dict):
+                meth = self.block_method.get(i, M_GZIP)
+            else:
+                meth = self.block_method
             blocks.append(
-                _raw_block(CT_EXTERNAL, i, bytes(ext[i]),
-                           method=self.block_method)
+                _raw_block(CT_EXTERNAL, i, bytes(ext[i]), method=meth,
+                           lens=qs_lens if i == 9 else None)
             )
         self._f.write(
             _container(ref_id, start, 0, len(records), self.counter,

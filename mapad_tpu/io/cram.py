@@ -15,14 +15,17 @@ from the public CRAM 3.0 specification (samtools/hts-specs CRAMv3.pdf):
   * rANS 4x8 order-0 and order-1 entropy codec (spec section 13)
   * rANS Nx16 (CRAM 3.1, method 5) via io/rans_nx16.py: order-0/1,
     4/32-way interleave, PACK/RLE/STRIPE/CAT transforms
+  * adaptive arithmetic (CRAM 3.1, method 6) via io/arith.py
+  * fqzcomp quality codec (CRAM 3.1, method 7) via io/fqzcomp.py
+  * name tokenizer (CRAM 3.1, method 8) via io/tok3.py
 
 Mapped records are reconstructed from read features against the slice's
 embedded reference when present; reference-requiring slices without an
 embedded reference raise InvalidInputType with a conversion hint (the
 reference implementation also reads CRAM without an external reference and
-fails on such inputs).  CRAM 3.1 files compressed with rANS-Nx16 decode
-natively; the remaining 3.1 codecs (adaptive arithmetic, fqzcomp, name
-tokenizer) are rejected with an actionable error naming the codec.
+fails on such inputs).  All CRAM 3.1 block codecs decode natively; see
+io/fqzcomp.py and io/tok3.py for the offline-validation confidence notes
+on the two record-aware codecs.
 """
 
 from __future__ import annotations
@@ -381,11 +384,9 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
 
         return _fqz_decode(data, raw_size)
     if method == M_TOK3:
-        raise InvalidInputType(
-            "CRAM 3.1 name-tokenizer codec (method 8) is not supported; "
-            "recompress with e.g. `samtools view -O cram,version=3.0` or "
-            "`... -O cram,use_tok=0`"
-        )
+        from .tok3 import decode as _tok3_decode
+
+        return _tok3_decode(data, raw_size)
     raise InvalidInputType(
         f"CRAM: unsupported block compression method {method}"
     )
@@ -1043,6 +1044,10 @@ def _compress_block(method: int, data: bytes, lens=None) -> bytes:
         from .fqzcomp import encode as _fqz_encode
 
         return _fqz_encode(data, lens)
+    if method == M_TOK3:
+        from .tok3 import encode as _tok3_encode
+
+        return _tok3_encode(data)
     if method == M_RAW:
         return data
     if method == M_GZIP:

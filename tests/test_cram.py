@@ -181,17 +181,19 @@ def test_bad_version_and_magic():
         CramReader(io.BytesIO(bytes(data)))
 
 
-def test_unsupported_31_codec():
+def test_unsupported_block_method():
     data = bytearray(
         _write([_unmapped(b"q", b"ACACAC", bytes([9] * 6))],
                block_method=M_GZIP).getvalue()
     )
-    # find a gzip external block and flip its method byte to 8 (tok3);
-    # take the LAST match -- external blocks sit at the container's end
+    # find a gzip external block and flip its method byte to an unknown
+    # value; take the LAST match -- external blocks sit at the
+    # container's end.  (All CRAM 3.1 methods now decode natively, so
+    # only out-of-spec method bytes reject.)
     idx = data.rfind(bytes([M_GZIP, 4]))  # method=gzip, content_type=external
     assert idx > 0
-    data[idx] = 8
-    with pytest.raises(InvalidInputType, match="name-tokenizer"):
+    data[idx] = 9
+    with pytest.raises(InvalidInputType, match="method 9"):
         list(CramReader(io.BytesIO(bytes(data))))
 
 
@@ -524,3 +526,62 @@ def test_cram_31_fqzcomp_file():
     assert len(out) == 6
     assert [r.quals for r in out] == [r["quals"] for r in recs]
     assert all(r.sequence == b"ACGTTGCA" * 4 for r in out)
+
+
+def test_tok3_roundtrip():
+    from mapad_tpu.io import tok3
+
+    name_sets = [
+        # Illumina-style: instrument:run:flowcell:lane:tile:x:y
+        [b"A00111:213:H77MVDSXX:1:1101:%d:%d" % (1000 + 7 * i, 1000 + 3 * i)
+         for i in range(40)],
+        # SRR-style with zero-padded serials
+        [b"SRR1163657.%d" % i for i in range(1, 30)]
+        + [b"SRR1163657.0000%d" % i for i in range(1, 9)],
+        # duplicates, empty name, punctuation-heavy, big jumps
+        [b"read/1", b"read/1", b"read/2", b"", b"x-y_z.7",
+         b"q99999999", b"q100000000", b"q100000255", b"@#!", b"read/1"],
+        # width changes and >u32 digit runs (fall back to ALPHA)
+        [b"n007", b"n008", b"n9999999999999999999", b"n010", b"N010"],
+        [],
+    ]
+    for names in name_sets:
+        blob = b"".join(n + b"\x00" for n in names)
+        for use_arith in (False, True):
+            enc = tok3.encode(blob, use_arith)
+            assert tok3.decode(enc, len(blob)) == blob, names[:2]
+            assert tok3.decode(enc) == blob
+
+
+def test_tok3_validation():
+    from mapad_tpu.io import tok3
+
+    blob = b"r1\x00r2\x00"
+    enc = bytearray(tok3.encode(blob))
+    with pytest.raises(InvalidInputType, match="size mismatch"):
+        tok3.decode(bytes(enc), len(blob) + 1)
+    enc[0] ^= 0xFF  # corrupt ulen -> decoded-length check trips
+    with pytest.raises(InvalidInputType):
+        tok3.decode(bytes(enc))
+    with pytest.raises(InvalidInputType, match="truncated header"):
+        tok3.decode(b"\x00" * 5)
+    with pytest.raises(InvalidInputType, match="use_arith"):
+        tok3.decode(b"\x00" * 8 + b"\x07")
+
+
+def test_cram_31_tok3_file():
+    """A CRAM 3.1 file whose RN block is tok3-compressed decodes end to
+    end: SURVEY component #13's codec list is complete (no remaining
+    unsupported CRAM 3.1 block methods)."""
+    from mapad_tpu.io.cram import M_FQZCOMP, M_TOK3
+
+    recs = [
+        _unmapped(b"A0:4:HX:%d:%d" % (i, 2 * i + 1), b"ACGTTGCA" * 3,
+                  bytes([30 + (i + j) % 7 for j in range(24)]))
+        for i in range(8)
+    ]
+    buf = _write(recs, block_method={6: M_TOK3, 9: M_FQZCOMP},
+                 version=(3, 1))
+    out = _records_list(buf)
+    assert [r.name for r in out] == [r["name"] for r in recs]
+    assert [r.quals for r in out] == [r["quals"] for r in recs]

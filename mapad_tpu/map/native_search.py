@@ -79,7 +79,7 @@ class NativeSearcher:
 
     def search(self, pattern_rank, pattern_code, n, score_lut, pen, split,
                cutoff_scale, cutoff_thresh, repr_mm, params,
-               packed: bool = False):
+               packed: bool = False, nohit_hint: bool = False):
         lib = _load()
         assert lib is not None
         n = int(n)
@@ -116,6 +116,11 @@ class NativeSearcher:
             ctypes.c_int32(self.MAX_HITS),
             ptr(hit_scores, ctypes.c_float), ptr(hit_ivals, ctypes.c_int64),
             ptr(ops_out, ctypes.c_uint32),
+            # nohit_hint: the caller (device engine) saw no hit within the
+            # device budget -- search_read runs its depth-first exhaustion
+            # probe first and skips the heap search when it proves
+            # emptiness (identical result either way; see searcher.cpp)
+            ctypes.c_int32(1 if nohit_hint else 0),
         )
         if packed:
             from .native_post import _EMPTY_PACKED, PackedHits

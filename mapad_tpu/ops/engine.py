@@ -978,10 +978,11 @@ class DeviceSearchEngine:
         deep_nohit_host = deep_tier and (
             os.environ.get("MAPAD_DEEP_NOHIT_HOST", "1") == "1"
         )
+        nohit_probe = os.environ.get("MAPAD_NOHIT_PROBE", "0") == "1"
 
-        def fb_submit(rec, stash_i, stash, fut=None):
+        def fb_submit(rec, stash_i, stash, fut=None, nohit=False):
             f = fb_pool.submit(self._fallback_value, [rec], 0,
-                               self._stash_row(stash, stash_i))
+                               self._stash_row(stash, stash_i), nohit)
             if fut is None:
                 return f
             # chain the fallback result into the caller-visible future
@@ -1117,12 +1118,22 @@ class DeviceSearchEngine:
                     fut = fut or Future()
                     deep_buf.append((fut, rec, gen + 1))
                     return fut
-                if deep_nohit_host and i is not None and i in nohits:
+                nohit = i is not None and i in nohits
+                if deep_nohit_host and nohit:
                     self._stats["nohit_host"] = (
                         self._stats.get("nohit_host", 0) + 1
                     )
                 self._stats["oracle"] += 1
-                return fb_submit(rec, i, stash, fut)
+                # MAPAD_NOHIT_PROBE=1: no-hit escalatees run the native
+                # searcher's depth-first exhaustion probe before the
+                # exact heap search.  Default OFF: chip-measured at hg19
+                # the probe wins 1.5x on truly hitless reads but >=13%
+                # of device-flagged no-hits do have (deep) hits, and a
+                # misrouted read pays ~10x in probe wandering -- net
+                # ~zero at the measured mix (ROADMAP round 5)
+                return fb_submit(
+                    rec, i, stash, fut, nohit=nohit and nohit_probe
+                )
 
             if tier is not None:
                 # retry/deep block: resolve the placeholder futures
@@ -1247,8 +1258,8 @@ class DeviceSearchEngine:
             max_len=stash["max_len"],
         )
 
-    def _fallback_value(self, records, i, stash=None):
-        return self._fallback_one(records, i, stash)[1]
+    def _fallback_value(self, records, i, stash=None, nohit=False):
+        return self._fallback_one(records, i, stash, nohit)[1]
 
     def _prep_block(self, chunk, R, cfg):
         """Host-side preparation of one pool invocation (runs on the prep
@@ -1911,7 +1922,7 @@ class DeviceSearchEngine:
             return False
         return native_search.available()
 
-    def _fallback_one(self, records, i, stash=None):
+    def _fallback_one(self, records, i, stash=None, nohit=False):
         searcher = self._ensure_native()
         t1 = time.perf_counter()
         record = records[i]
@@ -1932,9 +1943,10 @@ class DeviceSearchEngine:
                     int(stash["split"][i]), stash["scale"][i],
                     stash["thresh"][i], stash["repr_mm"][i],
                     self.parameters, packed=self.packed_hits,
+                    nohit_hint=nohit,
                 )
             else:
-                hits = self._native_search(searcher, record)
+                hits = self._native_search(searcher, record, nohit)
         else:
             hits = oracle_search(
                 record.sequence, record.base_qualities,
@@ -1944,7 +1956,7 @@ class DeviceSearchEngine:
         self._stats["fb_secs"] += dt  # total exact-fallback core-seconds
         return i, (hits, dt)
 
-    def _native_search(self, searcher, record):
+    def _native_search(self, searcher, record, nohit=False):
         sdm = self.parameters.difference_model
         mb = self.parameters.mismatch_bound
         seq = np.frombuffer(bytes(record.sequence), dtype=np.uint8)
@@ -1967,7 +1979,7 @@ class DeviceSearchEngine:
             _RANK_TABLE[seq].astype(np.uint8), BASE_TO_CODE[seq], ln,
             score_lut[0], pen[0], sdm.find_alignment_start(ln),
             scale, thresh, repr_mm, self.parameters,
-            packed=self.packed_hits,
+            packed=self.packed_hits, nohit_hint=nohit,
         )
 
     def _dispatch_batch(self, batch, params, config, lanes=None):

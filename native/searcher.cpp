@@ -230,6 +230,59 @@ struct HeapCmp {
     }
 };
 
+// 4-ary max-heap over (score, counter).  The comparator is a TOTAL
+// order (counters are unique), so the pop sequence -- the only thing
+// the search semantics observe -- is identical to any other exact
+// max-heap, including std::push_heap/pop_heap; only the in-array
+// layout differs.  Deep searches carry 10^5..10^6-frame frontiers
+// (5-50 MB at genome scale): halving the sift depth and keeping the 4
+// children of a node contiguous (3 cache lines instead of 2 scattered
+// pairs per level) cuts the DRAM-latency stalls that dominate each
+// pop's heap maintenance.
+static inline void heap4_push(std::vector<Frame>& h, const HeapCmp& cmp) {
+    size_t i = h.size() - 1;
+    Frame v = h[i];
+    while (i > 0) {
+        size_t p = (i - 1) >> 2;
+        if (!cmp(h[p], v)) break;
+        h[i] = h[p];
+        i = p;
+    }
+    h[i] = v;
+}
+
+static inline void heap4_sift_down(std::vector<Frame>& h, size_t i,
+                                   size_t limit, const HeapCmp& cmp) {
+    Frame v = h[i];
+    for (;;) {
+        size_t c0 = (i << 2) + 1;
+        if (c0 >= limit) break;
+        size_t best = c0;
+        size_t cend = std::min(c0 + 4, limit);
+        for (size_t c = c0 + 1; c < cend; c++)
+            if (cmp(h[best], h[c])) best = c;
+        if (!cmp(v, h[best])) break;
+        h[i] = h[best];
+        i = best;
+    }
+    h[i] = v;
+}
+
+// move the max to h.back() and re-heapify the rest (the caller reads
+// h.back() then pop_back, matching the std::pop_heap protocol)
+static inline void heap4_pop(std::vector<Frame>& h, const HeapCmp& cmp) {
+    size_t n = h.size();
+    if (n <= 1) return;
+    std::swap(h[0], h[n - 1]);
+    heap4_sift_down(h, 0, n - 1, cmp);
+}
+
+static inline void heap4_make(std::vector<Frame>& h, const HeapCmp& cmp) {
+    if (h.size() < 2) return;
+    for (size_t i = (h.size() - 2) >> 2; i + 1 > 0; i--)
+        heap4_sift_down(h, i, h.size(), cmp);
+}
+
 struct SearchCtx {
     const FmIndex* idx;
     const uint8_t* rank;
@@ -258,6 +311,168 @@ struct Hit {
 // Per-thread pop counter for the last search_read call (profiling only:
 // tools/monster_profile.py characterizes the deep-search tail).
 static thread_local int64_t g_last_pops = 0;
+
+// Exhaustion probe for reads the device flagged as no-hit.  Runs the
+// SAME static pruning as search_read (cutoff + Bi-D lookahead + gap
+// rules) but in depth-first order with a plain stack: the live working
+// set is O(read length * branching) instead of the best-first heap's
+// whole frontier, so deep exogenous searches stop thrashing the LLC and
+// every pop's occ rows are cache-hot from its own push.
+//
+// Returns 0 ONLY when the full exact search would provably return zero
+// hits: with no hits, search_read's order-dependent machinery
+// (reject_iterative, the multi-hit early stops, best-score tracking)
+// never engages, so its explored frame set is determined by the static
+// predicates alone and is identical under any pop order.  The probe
+// bails with 1 the moment either proof obligation breaks: a completed
+// alignment exists (a hit -- order now matters for hit ranking), or
+// total pushes reach the stack/tree limits (the exact search's heap
+// size and tree length are bounded by total pushes, so below the limit
+// its eviction path provably never fired).  search_read then falls
+// through to the exact search on 1; on 0 its empty result is
+// bit-identical.
+static int exhaust_probe(const SearchCtx& ctx,
+                         const std::vector<float>& bid) {
+    const FmIndex& idx = *ctx.idx;
+    int32_t n = ctx.n;
+    int32_t split = ctx.split;
+
+    // exact search: heap size <= pushes, tree length <= pushes + 1
+    int64_t push_budget = std::min(ctx.stack_limit, ctx.tree_limit - 1);
+    int64_t pushes = 0;
+
+    std::vector<Frame> stack;
+    stack.reserve(4096);
+    bool bail = false;
+    // children of the current pop, pushed together in ascending score
+    // order so the BEST child pops first: the descent is greedy
+    // best-first along each path, which completes an alignment within
+    // ~n pops when one exists (fast bail on misrouted hit-ful reads).
+    // For a truly hitless read every statically-valid frame is visited
+    // regardless of order, so this ordering is semantically inert.
+    Frame batch[9];
+    int nbatch = 0;
+    auto push_or_bail = [&](Frame f) {
+        if (f.ngaps > ctx.max_gaps) return;
+        if (f.len == n) {  // a qualifying alignment completes: hits exist
+            bail = true;
+            return;
+        }
+        if (++pushes >= push_budget) {  // can't prove no eviction
+            bail = true;
+            return;
+        }
+        {
+            bool nfwd = f.start <= n - f.start - f.len;
+            int64_t lo = nfwd ? f.iv.lower_rev : f.iv.lower;
+            int64_t r1 = lo - 1, r2 = lo + f.iv.size - 1;
+            if (r1 >= 0) {
+                __builtin_prefetch(&idx.bwt[r1], 0, 1);
+                __builtin_prefetch(&idx.occ_cp[(r1 / idx.occ_k) * 6], 0, 1);
+            }
+            __builtin_prefetch(&idx.bwt[r2], 0, 1);
+            __builtin_prefetch(&idx.occ_cp[(r2 / idx.occ_k) * 6], 0, 1);
+        }
+        batch[nbatch++] = f;
+    };
+    auto flush_batch = [&]() {
+        for (int a = 1; a < nbatch; a++) {  // insertion sort, ascending
+            Frame key = batch[a];
+            int b = a - 1;
+            while (b >= 0 && batch[b].score > key.score) {
+                batch[b + 1] = batch[b];
+                b--;
+            }
+            batch[b + 1] = key;
+        }
+        for (int a = 0; a < nbatch; a++) stack.push_back(batch[a]);
+        nbatch = 0;
+    };
+
+    stack.push_back(
+        Frame{{0, 0, idx.n}, split, 0, GAP_CLOSED, GAP_CLOSED, 0, 0.0f, 0, 0});
+
+    g_last_pops = 0;
+    while (!stack.empty() && !bail) {
+        Frame f = stack.back();
+        stack.pop_back();
+        ++g_last_pops;
+
+        bool fwd = f.start <= n - f.start - f.len;
+        int32_t j, d_k, d_l;
+        BiInterval ext;
+        int8_t gap_state;
+        if (fwd) {
+            j = f.start + f.len;
+            d_k = f.start;
+            d_l = f.start + f.len;
+            ext = {f.iv.lower_rev, f.iv.lower, f.iv.size};
+            gap_state = f.gap_f;
+        } else {
+            j = f.start - 1;
+            d_k = f.start - 1;
+            d_l = f.start + f.len - 1;
+            ext = f.iv;
+            gap_state = f.gap_b;
+        }
+
+        float ins_score = (gap_state == GAP_INS ? ctx.pge : ctx.pgo_pge) + f.score;
+        float del_score = (gap_state == GAP_DEL ? ctx.pge : ctx.pgo_pge) + f.score;
+        int8_t ngaps_inc = gap_state == GAP_CLOSED ? f.ngaps + 1 : f.ngaps;
+
+        float lb = bi_d_get(bid, split, n, d_k, d_l);
+
+        BiInterval children[4];
+        extend_all(idx, ext, children);
+
+        if (!ctx.reject(ins_score + lb) &&
+            std::min(j, n - j - 1) >= ctx.gap_dist_ends) {
+            Frame nf = f;
+            nf.start = fwd ? f.start : f.start - 1;
+            nf.len = f.len + 1;
+            nf.gap_b = fwd ? f.gap_b : GAP_INS;
+            nf.gap_f = fwd ? GAP_INS : f.gap_f;
+            nf.ngaps = ngaps_inc;
+            nf.score = ins_score;
+            push_or_bail(nf);
+        }
+
+        int32_t d5 = fwd ? j : j + 1;
+        bool del_allowed = std::min(d5, n - d5) >= ctx.gap_dist_ends;
+        bool del_rej = ctx.reject(del_score + lb);
+
+        for (int slot = 0; slot < 4 && !bail; slot++) {
+            BiInterval child = children[slot];
+            if (child.size < 1) continue;
+            if (fwd) child = {child.lower_rev, child.lower, child.size};
+            int code = fwd ? slot : 3 - slot;
+            float mm_score = ctx.slut[j * 4 + code] + f.score;
+
+            if (!del_rej && del_allowed) {
+                Frame nf = f;
+                nf.iv = child;
+                nf.gap_b = fwd ? f.gap_b : GAP_DEL;
+                nf.gap_f = fwd ? GAP_DEL : f.gap_f;
+                nf.ngaps = ngaps_inc;
+                nf.score = del_score;
+                push_or_bail(nf);
+            }
+
+            if (!ctx.reject(mm_score + lb)) {
+                Frame nf = f;
+                nf.iv = child;
+                nf.start = fwd ? f.start : f.start - 1;
+                nf.len = f.len + 1;
+                nf.gap_b = fwd ? f.gap_b : GAP_CLOSED;
+                nf.gap_f = fwd ? GAP_CLOSED : f.gap_f;
+                nf.score = mm_score;
+                push_or_bail(nf);
+            }
+        }
+        flush_batch();
+    }
+    return bail ? 1 : 0;
+}
 
 extern "C" {
 
@@ -314,7 +529,7 @@ int search_read(
     float pgo_pge, float pge, int32_t gap_dist_ends, int32_t max_gaps,
     int stack_limit_abort, int64_t stack_limit, int64_t tree_limit,
     int32_t max_hits, float* hit_scores, int64_t* hit_ivals /* max_hits*3 */,
-    uint32_t* ops_out) {
+    uint32_t* ops_out, int32_t nohit_hint) {
     FmIndex idx{bwt, bwt_len, less, occ_cp, occ_k, sentinels[0], sentinels[1]};
     SearchCtx ctx{&idx,  pattern_rank, pattern_code, n,
                   score_lut, split, cutoff_scale, cutoff_thresh, repr_mm,
@@ -323,6 +538,15 @@ int search_read(
 
     std::vector<float> bid;
     compute_bi_d(idx, pattern_rank, n, split, pen, bid);
+
+    // depth-first exhaustion probe first when the caller flagged this
+    // read as (probably) hitless; shares the Bi-D above.  0 proves the
+    // heap search below returns zero hits (see exhaust_probe); any hit
+    // or limit falls through to the exact search.  stack_limit_abort
+    // runs an order-dependent truncated search the proof doesn't cover.
+    if (nohit_hint && !stack_limit_abort &&
+        exhaust_probe(ctx, bid) == 0)
+        return 0;
 
     // edit tree arena: node 0 = root
     std::vector<uint32_t> tree_op(1, 0);
@@ -393,7 +617,7 @@ int search_read(
             __builtin_prefetch(&idx.occ_cp[(r2 / idx.occ_k) * 6], 0, 1);
         }
         heap.push_back(f);
-        std::push_heap(heap.begin(), heap.end(), cmp);
+        heap4_push(heap, cmp);
     };
 
     {
@@ -404,7 +628,7 @@ int search_read(
 
     g_last_pops = 0;
     while (!heap.empty()) {
-        std::pop_heap(heap.begin(), heap.end(), cmp);
+        heap4_pop(heap, cmp);
         Frame f = heap.back();
         heap.pop_back();
         ++g_last_pops;
@@ -524,7 +748,7 @@ int search_read(
                 tree_free.push_back(heap[mi].node);
                 heap[mi] = heap.back();
                 heap.pop_back();
-                std::make_heap(heap.begin(), heap.end(), cmp);
+                heap4_make(heap, cmp);
             }
         }
     }

@@ -61,3 +61,57 @@ def test_native_matches_oracle():
             assert np.float32(g.alignment_score) == np.float32(w.alignment_score)
             assert g.edit_operations == w.edit_operations, (
                 read[:16], g.edit_operations, w.edit_operations)
+
+
+@pytest.mark.skipif(not native_search.available(), reason="no native toolchain")
+def test_nohit_probe_equivalence():
+    """The depth-first exhaustion probe must never change results: for
+    hitless reads it proves emptiness (identical empty answer), for reads
+    with hits it must bail and defer to the exact search (identical
+    hits)."""
+    ref = open(os.path.join(HERE, "data", "bench_ref.txt")).read().strip().encode()
+    fmd, _ = build_auxiliary_structures(ref, b"ACGT")
+    dm = SimpleAncientDnaModel(
+        ("single_stranded", 0.475, 0.475), 0.001, 0.9,
+        np.float32(0.02) / np.float32(3.0), False,
+    )
+    repr_mm = dm.get_representative_mismatch_penalty()
+    params = AlignmentParameters(
+        difference_model=dm, mismatch_bound=Discrete(0.04, 0.02, repr_mm),
+        penalty_gap_open=np.log2(np.float32(0.00001)),
+        penalty_gap_extend=repr_mm,
+        chunk_size=100, gap_dist_ends=5, stack_limit_abort=False,
+        max_num_gaps_open=2,
+    )
+    from mapad_tpu.ops.engine import DeviceSearchEngine
+
+    engine = DeviceSearchEngine(fmd, params, lanes=8)
+    searcher = native_search.NativeSearcher(fmd)
+
+    rng = np.random.default_rng(23)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    reads = []
+    for _ in range(30):  # exogenous: mostly hitless, must exhaust
+        ln = int(rng.integers(24, 90))
+        reads.append(bytes(rng.choice(bases, ln)))
+    for _ in range(30):  # genomic with damage: mostly hit-ful -> probe bails
+        ln = int(rng.integers(24, 90))
+        start = int(rng.integers(0, len(ref) - ln))
+        seq = bytearray(ref[start : start + ln])
+        for _ in range(int(rng.integers(0, 5))):
+            seq[int(rng.integers(0, ln))] = int(rng.choice(bases))
+        reads.append(bytes(seq))
+
+    n_empty = 0
+    for read in reads:
+        record = Record(sequence=read, base_qualities=bytes([37] * len(read)))
+        plain = engine._native_search(searcher, record, nohit=False)
+        hinted = engine._native_search(searcher, record, nohit=True)
+        assert len(plain) == len(hinted), read[:16]
+        n_empty += not plain
+        for g, w in zip(hinted, plain):
+            assert g.interval == w.interval
+            assert np.float32(g.alignment_score) == np.float32(w.alignment_score)
+            assert g.edit_operations == w.edit_operations
+    # the read mix must exercise BOTH probe outcomes
+    assert 5 < n_empty < len(reads) - 5, n_empty

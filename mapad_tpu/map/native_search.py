@@ -47,6 +47,7 @@ def _load():
             )
         lib = ctypes.CDLL(_LIB)
         lib.search_read.restype = ctypes.c_int32
+        lib.exhaust_probe_batch.restype = ctypes.c_int32
         _lib = lib
     except Exception as e:
         logger.warning("native searcher unavailable (%s)", e)
@@ -76,6 +77,52 @@ class NativeSearcher:
             cp = cp[:, :6]
         self._occ_cp = np.ascontiguousarray(cp)
         self._sent = np.asarray(fmd.sentinel_occ, dtype=np.int64)
+
+    def probe_batch(self, ranks, codes, ns, sluts, pens, splits, scales,
+                    threshs, params, interleave: int = 4):
+        """K-way interleaved no-hit exhaustion probes (searcher.cpp
+        exhaust_probe_batch).  All arrays are stacked per-read rows of a
+        common width.  Returns an int32 verdict array: 0 = the exact
+        search provably returns zero hits for that read (soundness
+        argument in searcher.cpp), 1 = run the exact search."""
+        lib = _load()
+        assert lib is not None
+        B, max_n = ranks.shape
+        ranks = np.ascontiguousarray(ranks, dtype=np.uint8)
+        codes = np.ascontiguousarray(codes, dtype=np.uint8)
+        ns = np.ascontiguousarray(ns, dtype=np.int32)
+        sluts = np.ascontiguousarray(sluts, dtype=np.float32)
+        pens = np.ascontiguousarray(pens, dtype=np.float32)
+        splits = np.ascontiguousarray(splits, dtype=np.int32)
+        scales = np.ascontiguousarray(scales, dtype=np.float32)
+        threshs = np.ascontiguousarray(threshs, dtype=np.float32)
+        verdicts = np.ones(B, dtype=np.int32)
+
+        def ptr(a, t):
+            return a.ctypes.data_as(ctypes.POINTER(t))
+
+        lib.exhaust_probe_batch(
+            ptr(self._bwt, ctypes.c_uint8), ctypes.c_int64(len(self._bwt)),
+            ptr(self._less, ctypes.c_int64), ptr(self._occ_cp, ctypes.c_int64),
+            ctypes.c_int64(self.fmd.occ_k), ptr(self._sent, ctypes.c_int64),
+            ptr(ranks, ctypes.c_uint8), ptr(codes, ctypes.c_uint8),
+            ptr(ns, ctypes.c_int32), ctypes.c_int32(max_n),
+            ptr(sluts, ctypes.c_float), ptr(pens, ctypes.c_float),
+            ptr(splits, ctypes.c_int32), ptr(scales, ctypes.c_float),
+            ptr(threshs, ctypes.c_float),
+            ctypes.c_float(
+                float(np.float32(
+                    params.penalty_gap_open + params.penalty_gap_extend
+                ))
+            ),
+            ctypes.c_float(float(params.penalty_gap_extend)),
+            ctypes.c_int32(int(params.gap_dist_ends)),
+            ctypes.c_int32(int(params.max_num_gaps_open)),
+            ctypes.c_int64(STACK_LIMIT), ctypes.c_int64(EDIT_TREE_LIMIT),
+            ctypes.c_int32(B), ctypes.c_int32(int(interleave)),
+            ptr(verdicts, ctypes.c_int32),
+        )
+        return verdicts
 
     def search(self, pattern_rank, pattern_code, n, score_lut, pen, split,
                cutoff_scale, cutoff_thresh, repr_mm, params,

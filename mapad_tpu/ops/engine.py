@@ -406,19 +406,15 @@ class DeviceSearchEngine:
                 # 12% escalations at CAP=1024 made the 4-core host the
                 # bottleneck while the chip sat idle)
                 # CAP=8192 regressed e2e 3.3k -> 2.1k: the dense pop scans
-                # are O(L*CAP) per step and dominate past ~4096.  At 4 Mbp
-                # 3072 beat 4096 at 10,080 vs 9,710 reads/s (same-window
-                # min-of-3, round 5): the cheaper per-step scan wins more
-                # than the extra ~1.3% abandons cost, and earlier monster
-                # abandons free lanes for pool reads (escalations FELL).
-                # Genome-scale (big) keeps 4096: its pop distribution is
-                # much heavier (>4096 pops = 13% of reads there) and the
-                # 3072 trade is unmeasured at that balance.
-                read_step_cap=min(
-                    cap_env
-                    or (4096 if self.device_index.big else 3072),
-                    pool_steps,
-                ),
+                # are O(L*CAP) per step and dominate past ~4096.  3072
+                # beat 4096 at BOTH scales (same-window chip sweeps,
+                # round 5): 10,080 vs 9,710 reads/s at 4 Mbp and 1,851
+                # vs 1,740 at hg19 -- the cheaper per-step scan wins more
+                # than the extra abandons cost, earlier monster abandons
+                # free lanes for pool reads, and at hg19 the cap converts
+                # budget-starved "unfinished" escalatees (8.3k -> 4.0k)
+                # into abandons that reach the host sooner.
+                read_step_cap=min(cap_env or 3072, pool_steps),
                 compute_forward_part=config.compute_forward_part,
                 backward_only=self._is_backward_only,
                 # in-kernel store generations: unfinished/undispatched
@@ -1070,6 +1066,7 @@ class DeviceSearchEngine:
             abandoned: set = set()
             deep: set = set()
             nohits: set = set()
+            nohit_pend: list = []  # (fut, rec, i) for the batched probe
             tier = (
                 key[0] if isinstance(key, tuple) and key
                 and key[0] in (_RETRY, _DEEP) else None
@@ -1124,16 +1121,26 @@ class DeviceSearchEngine:
                         self._stats.get("nohit_host", 0) + 1
                     )
                 self._stats["oracle"] += 1
-                # MAPAD_NOHIT_PROBE=1: no-hit escalatees run the native
-                # searcher's depth-first exhaustion probe before the
-                # exact heap search.  Default OFF: chip-measured at hg19
-                # the probe wins 1.5x on truly hitless reads but >=13%
-                # of device-flagged no-hits do have (deep) hits, and a
-                # misrouted read pays ~10x in probe wandering -- net
-                # ~zero at the measured mix (ROADMAP round 5)
-                return fb_submit(
-                    rec, i, stash, fut, nohit=nohit and nohit_probe
-                )
+                if nohit and nohit_probe and lazy_fallback:
+                    # no-hit escalatees batch into K-way interleaved
+                    # exhaustion probes at block flush: most are proven
+                    # hitless at a fraction of the exact search's DRAM
+                    # stalls, the rest (device-flagged no-hits that DO
+                    # have deep hits) fall through to the exact search
+                    # inside the same fallback task
+                    fut = fut or Future()
+                    nohit_pend.append((fut, rec, i))
+                    return fut
+                return fb_submit(rec, i, stash, fut)
+
+            def flush_nohit():
+                # one fallback-pool task per probe batch; each task runs
+                # the interleaved probes then the exact search for bails
+                pb = int(os.environ.get("MAPAD_PROBE_BATCH", "16"))
+                while nohit_pend:
+                    chunk = nohit_pend[:pb]
+                    del nohit_pend[:pb]
+                    fb_pool.submit(self._probe_batch_entries, chunk, stash)
 
             if tier is not None:
                 # retry/deep block: resolve the placeholder futures
@@ -1143,10 +1150,12 @@ class DeviceSearchEngine:
                         route(j, rec, gen, fut)
                     else:
                         fut.set_result(out[j])
+                flush_nohit()
                 continue
             for i in escalated:
                 fut = route(i, recs[i], 0)
                 out[i] = fut if lazy_fallback else fut.result()
+            flush_nohit()
             yield key, out
 
     def deep_tier_enabled(self) -> bool:
@@ -1260,6 +1269,79 @@ class DeviceSearchEngine:
 
     def _fallback_value(self, records, i, stash=None, nohit=False):
         return self._fallback_one(records, i, stash, nohit)[1]
+
+    def _probe_batch_entries(self, entries, stash):
+        """Fallback-pool task: K-way interleaved no-hit exhaustion probes
+        over one block's no-hit escalatees (native exhaust_probe_batch),
+        then the exact search for every read the probe could not prove
+        hitless.  entries: [(Future, record, block_index)]."""
+        import os
+
+        t0 = time.perf_counter()
+        try:
+            searcher = self._ensure_native()
+
+            def row_of(i):
+                return int(stash["_inv"][i]) if "_inv" in stash else i
+
+            batch = []
+            singles = []
+            for e in entries:
+                _, rec, i = e
+                ln = len(rec.sequence)
+                if (
+                    searcher is not None
+                    and stash is not None
+                    and 0 < ln <= stash["max_len"]
+                    and row_of(i) < len(stash["n"])
+                    and int(stash["n"][row_of(i)]) == ln
+                ):
+                    batch.append(e)
+                else:
+                    singles.append(e)
+            verdicts = []
+            if batch:
+                rows = [row_of(i) for _, _, i in batch]
+                verdicts = searcher.probe_batch(
+                    stash["pattern_rank"][rows],
+                    stash["pattern_code"][rows],
+                    stash["n"][rows], stash["score_lut"][rows],
+                    stash["pen"][rows], stash["split"][rows],
+                    stash["scale"][rows], stash["thresh"][rows],
+                    self.parameters,
+                    interleave=int(os.environ.get("MAPAD_PROBE_K", "4")),
+                )
+                probe_dt = time.perf_counter() - t0
+                self._stats["fb_secs"] += probe_dt
+                share = probe_dt / len(batch)
+                if self.packed_hits:
+                    from ..map.native_post import _EMPTY_PACKED
+
+                    empty = _EMPTY_PACKED
+                else:
+                    empty = []
+                for (fut, rec, i), v in zip(batch, verdicts):
+                    if v == 0:
+                        self._stats["probe_empty"] = (
+                            self._stats.get("probe_empty", 0) + 1
+                        )
+                        fut.set_result((empty, share))
+                    else:
+                        fut.set_result(
+                            self._fallback_one(
+                                [rec], 0, self._stash_row(stash, i)
+                            )[1]
+                        )
+            for fut, rec, i in singles:
+                fut.set_result(
+                    self._fallback_one(
+                        [rec], 0, self._stash_row(stash, i)
+                    )[1]
+                )
+        except BaseException as e:  # a hung future would stall the stream
+            for fut, _, _ in entries:
+                if not fut.done():
+                    fut.set_exception(e)
 
     def _prep_block(self, chunk, R, cfg):
         """Host-side preparation of one pool invocation (runs on the prep

@@ -316,87 +316,104 @@ static thread_local int64_t g_last_pops = 0;
 // SAME static pruning as search_read (cutoff + Bi-D lookahead + gap
 // rules) but in depth-first order with a plain stack: the live working
 // set is O(read length * branching) instead of the best-first heap's
-// whole frontier, so deep exogenous searches stop thrashing the LLC and
-// every pop's occ rows are cache-hot from its own push.
+// whole frontier (~64 KB vs 5-50 MB on deep genome-scale searches).
 //
-// Returns 0 ONLY when the full exact search would provably return zero
-// hits: with no hits, search_read's order-dependent machinery
-// (reject_iterative, the multi-hit early stops, best-score tracking)
-// never engages, so its explored frame set is determined by the static
-// predicates alone and is identical under any pop order.  The probe
-// bails with 1 the moment either proof obligation breaks: a completed
-// alignment exists (a hit -- order now matters for hit ranking), or
-// total pushes reach the stack/tree limits (the exact search's heap
-// size and tree length are bounded by total pushes, so below the limit
-// its eviction path provably never fired).  search_read then falls
-// through to the exact search on 1; on 0 its empty result is
+// Soundness: the probe reports 0 ONLY when the full exact search would
+// provably return zero hits.  With no hits, search_read's
+// order-dependent machinery (reject_iterative, the multi-hit early
+// stops, best-score tracking) never engages, so its explored frame set
+// is determined by the static predicates alone and is identical under
+// any pop order.  The probe bails (1) the moment either proof
+// obligation breaks: a completed alignment exists (a hit -- order now
+// matters for hit ranking), or total pushes reach the stack/tree
+// limits (the exact search's heap size and tree length are bounded by
+// total pushes, so below the limit its eviction path provably never
+// fired).  Callers run the exact search on 1; on 0 the empty result is
 // bit-identical.
-static int exhaust_probe(const SearchCtx& ctx,
-                         const std::vector<float>& bid) {
-    const FmIndex& idx = *ctx.idx;
-    int32_t n = ctx.n;
-    int32_t split = ctx.split;
-
-    // exact search: heap size <= pushes, tree length <= pushes + 1
-    int64_t push_budget = std::min(ctx.stack_limit, ctx.tree_limit - 1);
-    int64_t pushes = 0;
-
+//
+// ProbeState::step() performs ONE pop so a batch driver can interleave
+// K probes on one thread: each pop costs a handful of dependent
+// DRAM-latency fetches (checkpoint row + bwt segment), and rotating
+// through K small-working-set stacks hides that latency behind the
+// other reads' compute (the same idea failed for the exact searcher --
+// K best-first heaps evict each other from LLC -- but K DFS stacks fit
+// in L2 together).
+struct ProbeState {
+    SearchCtx ctx;
+    std::vector<float> bid;
     std::vector<Frame> stack;
-    stack.reserve(4096);
+    int64_t pushes = 0;
+    int64_t push_budget = 0;
+    int64_t pops = 0;
     bool bail = false;
-    // children of the current pop, pushed together in ascending score
-    // order so the BEST child pops first: the descent is greedy
-    // best-first along each path, which completes an alignment within
-    // ~n pops when one exists (fast bail on misrouted hit-ful reads).
-    // For a truly hitless read every statically-valid frame is visited
-    // regardless of order, so this ordering is semantically inert.
-    Frame batch[9];
-    int nbatch = 0;
-    auto push_or_bail = [&](Frame f) {
-        if (f.ngaps > ctx.max_gaps) return;
-        if (f.len == n) {  // a qualifying alignment completes: hits exist
-            bail = true;
+    bool done = false;  // done && !bail => proven hitless
+
+    void init(const SearchCtx& c, const float* pen) {
+        ctx = c;
+        compute_bi_d(*ctx.idx, ctx.rank, ctx.n, ctx.split, pen, bid);
+        start_from_root();
+    }
+
+    void start_from_root() {
+        // exact search: heap size <= pushes, tree length <= pushes + 1
+        push_budget = std::min(ctx.stack_limit, ctx.tree_limit - 1);
+        pushes = 0;
+        pops = 0;
+        bail = false;
+        done = false;
+        stack.clear();
+        stack.reserve(4096);
+        stack.push_back(Frame{{0, 0, ctx.idx->n}, ctx.split, 0, GAP_CLOSED,
+                              GAP_CLOSED, 0, 0.0f, 0, 0});
+    }
+
+    inline void prefetch_top() const {
+        if (stack.empty()) return;
+        const FmIndex& idx = *ctx.idx;
+        const Frame& f = stack.back();
+        bool nfwd = f.start <= ctx.n - f.start - f.len;
+        int64_t lo = nfwd ? f.iv.lower_rev : f.iv.lower;
+        int64_t r1 = lo - 1, r2 = lo + f.iv.size - 1;
+        if (r1 >= 0) {
+            __builtin_prefetch(&idx.bwt[r1], 0, 2);
+            __builtin_prefetch(&idx.occ_cp[(r1 / idx.occ_k) * 6], 0, 2);
+        }
+        __builtin_prefetch(&idx.bwt[r2], 0, 2);
+        __builtin_prefetch(&idx.occ_cp[(r2 / idx.occ_k) * 6], 0, 2);
+    }
+
+    // one pop + its child pushes; children of each pop go on the stack
+    // in ascending score order so the BEST child pops first: the
+    // descent is greedy best-first along each path, which completes an
+    // alignment within ~n pops when one exists (fast bail on misrouted
+    // hit-ful reads).  For a truly hitless read every statically-valid
+    // frame is visited regardless of order, so ordering is inert.
+    void step() {
+        if (done) return;
+        if (bail || stack.empty()) {
+            done = true;
             return;
         }
-        if (++pushes >= push_budget) {  // can't prove no eviction
-            bail = true;
-            return;
-        }
-        {
-            bool nfwd = f.start <= n - f.start - f.len;
-            int64_t lo = nfwd ? f.iv.lower_rev : f.iv.lower;
-            int64_t r1 = lo - 1, r2 = lo + f.iv.size - 1;
-            if (r1 >= 0) {
-                __builtin_prefetch(&idx.bwt[r1], 0, 1);
-                __builtin_prefetch(&idx.occ_cp[(r1 / idx.occ_k) * 6], 0, 1);
-            }
-            __builtin_prefetch(&idx.bwt[r2], 0, 1);
-            __builtin_prefetch(&idx.occ_cp[(r2 / idx.occ_k) * 6], 0, 1);
-        }
-        batch[nbatch++] = f;
-    };
-    auto flush_batch = [&]() {
-        for (int a = 1; a < nbatch; a++) {  // insertion sort, ascending
-            Frame key = batch[a];
-            int b = a - 1;
-            while (b >= 0 && batch[b].score > key.score) {
-                batch[b + 1] = batch[b];
-                b--;
-            }
-            batch[b + 1] = key;
-        }
-        for (int a = 0; a < nbatch; a++) stack.push_back(batch[a]);
-        nbatch = 0;
-    };
-
-    stack.push_back(
-        Frame{{0, 0, idx.n}, split, 0, GAP_CLOSED, GAP_CLOSED, 0, 0.0f, 0, 0});
-
-    g_last_pops = 0;
-    while (!stack.empty() && !bail) {
+        const FmIndex& idx = *ctx.idx;
+        int32_t n = ctx.n;
         Frame f = stack.back();
         stack.pop_back();
-        ++g_last_pops;
+        ++pops;
+
+        Frame batch[9];
+        int nbatch = 0;
+        auto push_or_bail = [&](Frame nf) {
+            if (nf.ngaps > ctx.max_gaps) return;
+            if (nf.len == n) {  // a qualifying alignment: hits exist
+                bail = true;
+                return;
+            }
+            if (++pushes >= push_budget) {  // can't prove no eviction
+                bail = true;
+                return;
+            }
+            batch[nbatch++] = nf;
+        };
 
         bool fwd = f.start <= n - f.start - f.len;
         int32_t j, d_k, d_l;
@@ -416,11 +433,13 @@ static int exhaust_probe(const SearchCtx& ctx,
             gap_state = f.gap_b;
         }
 
-        float ins_score = (gap_state == GAP_INS ? ctx.pge : ctx.pgo_pge) + f.score;
-        float del_score = (gap_state == GAP_DEL ? ctx.pge : ctx.pgo_pge) + f.score;
+        float ins_score =
+            (gap_state == GAP_INS ? ctx.pge : ctx.pgo_pge) + f.score;
+        float del_score =
+            (gap_state == GAP_DEL ? ctx.pge : ctx.pgo_pge) + f.score;
         int8_t ngaps_inc = gap_state == GAP_CLOSED ? f.ngaps + 1 : f.ngaps;
 
-        float lb = bi_d_get(bid, split, n, d_k, d_l);
+        float lb = bi_d_get(bid, ctx.split, n, d_k, d_l);
 
         BiInterval children[4];
         extend_all(idx, ext, children);
@@ -469,9 +488,35 @@ static int exhaust_probe(const SearchCtx& ctx,
                 push_or_bail(nf);
             }
         }
-        flush_batch();
+        if (bail) {
+            done = true;
+            return;
+        }
+        // insertion sort ascending; best lands on top of the stack
+        for (int a = 1; a < nbatch; a++) {
+            Frame key = batch[a];
+            int b = a - 1;
+            while (b >= 0 && batch[b].score > key.score) {
+                batch[b + 1] = batch[b];
+                b--;
+            }
+            batch[b + 1] = key;
+        }
+        for (int a = 0; a < nbatch; a++) stack.push_back(batch[a]);
+        if (stack.empty()) done = true;  // exhausted: proven hitless
     }
-    return bail ? 1 : 0;
+};
+
+static int exhaust_probe(const SearchCtx& ctx,
+                         const std::vector<float>& bid) {
+    ProbeState st;
+    st.ctx = ctx;
+    st.bid = bid;
+    st.start_from_root();
+    g_last_pops = 0;
+    while (!st.done) st.step();
+    g_last_pops = st.pops;
+    return st.bail ? 1 : 0;
 }
 
 extern "C" {
@@ -769,6 +814,69 @@ int search_read(
         ops_out[h * stride + k] = 0;
     }
     return (int32_t)hits.size();
+}
+
+// K-way interleaved no-hit exhaustion probes over a batch of reads.
+// ranks/codes are (B, max_n) row-major uint8; sluts (B, max_n, 4) f32;
+// pens (B, max_n) f32; ns/splits (B,) int32; scales/threshs (B,) f32.
+// verdicts[i]: 0 = proven hitless (exact search returns zero hits,
+// see ProbeState), 1 = bail -> caller runs the exact search.
+// Interleaving hides each pop's dependent DRAM fetches behind the
+// other reads' compute; K stacks together stay L2-resident.
+int exhaust_probe_batch(
+    const uint8_t* bwt, int64_t bwt_len, const int64_t* less,
+    const int64_t* occ_cp, int64_t occ_k, const int64_t* sentinels,
+    const uint8_t* ranks, const uint8_t* codes, const int32_t* ns,
+    int32_t max_n, const float* sluts, const float* pens,
+    const int32_t* splits, const float* scales, const float* threshs,
+    float pgo_pge, float pge, int32_t gap_dist_ends, int32_t max_gaps,
+    int64_t stack_limit, int64_t tree_limit,
+    int32_t B, int32_t K, int32_t* verdicts) {
+    FmIndex idx{bwt, bwt_len, less, occ_cp, occ_k, sentinels[0],
+                sentinels[1]};
+    if (K < 1) K = 1;
+    std::vector<ProbeState> states((size_t)std::min(K, B));
+    std::vector<int32_t> who(states.size(), -1);  // read index per slot
+    int32_t next_read = 0;
+    int32_t live = 0;
+
+    auto load = [&](size_t slot) -> bool {
+        while (next_read < B) {
+            int32_t r = next_read++;
+            if (ns[r] <= 0) {  // empty rows prove trivially
+                verdicts[r] = 0;
+                continue;
+            }
+            SearchCtx ctx{&idx, ranks + (size_t)r * max_n,
+                          codes + (size_t)r * max_n, ns[r],
+                          sluts + (size_t)r * max_n * 4, splits[r],
+                          scales[r], threshs[r],
+                          -std::numeric_limits<float>::infinity(),
+                          pgo_pge, pge, gap_dist_ends, max_gaps, 0,
+                          stack_limit, tree_limit};
+            states[slot].init(ctx, pens + (size_t)r * max_n);
+            who[slot] = r;
+            return true;
+        }
+        who[slot] = -1;
+        return false;
+    };
+    for (size_t s = 0; s < states.size(); s++) live += load(s);
+
+    while (live > 0) {
+        for (size_t s = 0; s < states.size(); s++) {
+            if (who[s] < 0) continue;
+            ProbeState& st = states[s];
+            st.step();
+            if (st.done) {
+                verdicts[who[s]] = st.bail ? 1 : 0;
+                if (!load(s)) live--;
+            } else {
+                st.prefetch_top();
+            }
+        }
+    }
+    return 0;
 }
 
 // Batch Bi-D arrays for R reads (threaded; ctypes releases the GIL).

@@ -705,3 +705,48 @@ def test_pool_generations_noop_when_budget_suffices(bench_fixture):
         outs.append(engine.search_chunk(_records(reads)))
     for (ha, _), (hb, _) in zip(*outs):
         assert_hits_equal(ha, hb, "gens=3 vs gens=1")
+
+
+def test_batched_nohit_probe_oracle_equal(bench_fixture, monkeypatch):
+    """MAPAD_NOHIT_PROBE=1: no-hit escalatees run through the K-way
+    interleaved exhaustion-probe batch (native exhaust_probe_batch);
+    results must stay oracle-identical for every read -- including
+    misrouted ones (exogenous-looking reads that DO have deep hits fall
+    through to the exact search inside the probe task)."""
+    from mapad_tpu.map import native_search
+    from mapad_tpu.ops.search_pool import PoolConfig
+
+    if not native_search.available():
+        pytest.skip("no native toolchain")
+    monkeypatch.setenv("MAPAD_NOHIT_PROBE", "1")
+    monkeypatch.setenv("MAPAD_PROBE_BATCH", "5")  # force multiple batches
+    ref, fmd, _ = bench_fixture
+    params = _adna_params()
+    rng = np.random.default_rng(41)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    reads = [
+        l.strip().encode()
+        for l in open(os.path.join(HERE, "data", "bench_reads.txt"))
+    ]
+    # chimeric reads (two distant genome fragments): both halves extend
+    # far so the search wanders past the tiny cap, but no full alignment
+    # exists -- they escalate flagged no-hit and must exhaust to prove
+    # unmapped
+    for _ in range(24):
+        ln = int(rng.integers(48, 90))
+        h = ln // 2
+        a = int(rng.integers(0, len(ref) - h))
+        b = int(rng.integers(0, len(ref) - h))
+        reads.append(ref[a : a + h] + ref[b : b + ln - h])
+    cfg = PoolConfig(max_len=128, lanes=8, total_steps=4096,
+                     read_step_cap=16, max_chains=256,
+                     compute_forward_part=False)
+    engine = DeviceSearchEngine(fmd, params, mode="pool", pool_config=cfg)
+    results = engine.search_chunk(_records(reads), lazy_fallback=True)
+    assert engine._stats["oracle"] > 0
+    # the probe batch proved at least one read hitless
+    assert engine._stats.get("probe_empty", 0) > 0
+    for res, read in zip(results, reads):
+        hits, _dur = res.result() if hasattr(res, "result") else res
+        oracle_hits = oracle_search(read, [40] * len(read), params, fmd)
+        assert_hits_equal(hits, oracle_hits, read[:16])

@@ -46,6 +46,7 @@ KNOBS = [
     "MAPAD_DEEP_KGENS", "MAPAD_INFLIGHT", "MAPAD_PREP_THREADS",
     "MAPAD_DEEP_SPILL", "MAPAD_DEEP_NOHIT_HOST", "MAPAD_DEEP_LANES",
     "MAPAD_DEEP_STEPS", "MAPAD_DEEP_GENS", "MAPAD_FB_THREADS",
+    "MAPAD_NOHIT_PROBE",
 ]
 
 

@@ -585,3 +585,33 @@ def test_cram_31_tok3_file():
     out = _records_list(buf)
     assert [r.name for r in out] == [r["name"] for r in recs]
     assert [r.quals for r in out] == [r["quals"] for r in recs]
+
+
+def test_fqz_tok3_corruption_fuzz():
+    """Corrupt fqzcomp/tok3 streams must reject with InvalidInputType or
+    decode to the declared length -- never crash, hang, or leak another
+    exception type (the loud-failure contract the codecs document)."""
+    import random
+
+    from mapad_tpu.io import fqzcomp as fz, tok3
+
+    rng = np.random.default_rng(99)
+    data = bytes(rng.choice(np.frombuffer(b"##$%&FFII", np.uint8), 600))
+    enc_f = fz.encode(data, [60] * 10, qmap=True, ptab=True, dtab=True)
+    blob = b"".join(b"r%d\x00" % i for i in range(20))
+    enc_t = tok3.encode(blob)
+
+    random.seed(1)
+    rejected = 0
+    for enc, dec, ok_len in ((enc_f, fz.decode, len(data)),
+                             (enc_t, tok3.decode, len(blob))):
+        for _ in range(120):
+            b = bytearray(enc)
+            for _ in range(random.randint(1, 4)):
+                b[random.randrange(len(b))] = random.randrange(256)
+            try:
+                out = dec(bytes(b), ok_len)
+                assert len(out) == ok_len
+            except InvalidInputType:
+                rejected += 1
+    assert rejected > 50

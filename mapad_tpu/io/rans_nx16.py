@@ -435,6 +435,13 @@ def _unpack(data: bytes, pmap: bytes, out_len: int) -> bytes:
     nsym = len(pmap)
     if nsym <= 1:
         return bytes([pmap[0] if pmap else 0]) * out_len
+    need = (
+        (out_len + 7) // 8 if nsym <= 2
+        else (out_len + 3) // 4 if nsym <= 4
+        else (out_len + 1) // 2
+    )
+    if len(data) < need:
+        raise InvalidInputType("rans-nx16: packed data shorter than output")
     out = bytearray(out_len)
     if nsym <= 2:
         for i in range(out_len):

@@ -197,9 +197,12 @@ class _Model:
         cum = 0
         freq = self.freq
         i = 0
+        last = len(freq) - 1
         while cum + freq[i] <= f:
             cum += freq[i]
             i += 1
+            if i > last:  # corrupt stream: code outside the model's range
+                raise InvalidInputType("arith: decoded frequency overflow")
         rc.decode(cum, freq[i])
         out = self.sym[i]
         self._bump(i)
@@ -336,24 +339,29 @@ def _unpack(packed: bytes, syms: bytes, out_len: int) -> bytes:
         if not syms:
             raise InvalidInputType("arith: PACK with empty symbol map")
         return bytes([syms[0]]) * out_len
-    if n <= 2:
-        for w in packed:
-            for j in range(8):
-                out.append(syms[(w >> j) & 1])
-                if len(out) == out_len:
-                    return bytes(out)
-    elif n <= 4:
-        for w in packed:
-            for j in range(4):
-                out.append(syms[(w >> (2 * j)) & 3])
-                if len(out) == out_len:
-                    return bytes(out)
-    else:
-        for w in packed:
-            for j in range(2):
-                out.append(syms[(w >> (4 * j)) & 15])
-                if len(out) == out_len:
-                    return bytes(out)
+    try:
+        if n <= 2:
+            for w in packed:
+                for j in range(8):
+                    out.append(syms[(w >> j) & 1])
+                    if len(out) == out_len:
+                        return bytes(out)
+        elif n <= 4:
+            for w in packed:
+                for j in range(4):
+                    out.append(syms[(w >> (2 * j)) & 3])
+                    if len(out) == out_len:
+                        return bytes(out)
+        else:
+            for w in packed:
+                for j in range(2):
+                    out.append(syms[(w >> (4 * j)) & 15])
+                    if len(out) == out_len:
+                        return bytes(out)
+    except IndexError:
+        raise InvalidInputType(
+            "arith: PACK index outside symbol map"
+        ) from None
     if len(out) != out_len:
         raise InvalidInputType("arith: PACK underflows output")
     return bytes(out)
@@ -403,7 +411,10 @@ def decode(buf: bytes, expected_len: int | None = None) -> bytes:
             raise InvalidInputType("arith: truncated CAT body")
         return body
     if flags & EXT:
-        out = bz2.decompress(buf[pos:])
+        try:
+            out = bz2.decompress(buf[pos:])
+        except (OSError, ValueError, EOFError) as e:
+            raise InvalidInputType(f"arith: EXT bzip2 error: {e}") from None
         if len(out) != out_len:
             raise InvalidInputType("arith: EXT size mismatch")
         return out

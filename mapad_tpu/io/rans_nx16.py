@@ -182,8 +182,10 @@ def _cum_lookup(freqs: dict[int, int], total: int):
     lookup = bytearray(total)
     x = 0
     for sym in freqs:  # insertion order == ascending (alphabet order)
-        cum[sym] = x
         f = freqs[sym]
+        if not 0 <= sym <= 255 or f < 0 or x + f > total:
+            raise InvalidInputType("rans-nx16: invalid frequency table")
+        cum[sym] = x
         lookup[x : x + f] = bytes([sym]) * f
         x += f
     if x != total:
@@ -308,7 +310,12 @@ def _decode_o1_core(cur: _Cur, n: int, N: int) -> bytes:
             if p >= ends[j]:
                 continue
             alive = True
-            cum, lookup, row = tables[last[j]]
+            entry = tables.get(last[j])
+            if entry is None:
+                raise InvalidInputType(
+                    "rans-nx16: order-1 context has no frequency table"
+                )
+            cum, lookup, row = entry
             r = R[j]
             m = r & mask
             sym = lookup[m]
@@ -408,7 +415,12 @@ def _encode_o1_core(data: bytes, N: int) -> bytes:
             if p >= ends[j]:
                 continue
             alive = True
-            cum, lookup, row = tables[last[j]]
+            entry = tables.get(last[j])
+            if entry is None:
+                raise InvalidInputType(
+                    "rans-nx16: order-1 context has no frequency table"
+                )
+            cum, lookup, row = entry
             r = sim_R[j]
             m = r & (total - 1)
             sym = lookup[m]
@@ -443,17 +455,22 @@ def _unpack(data: bytes, pmap: bytes, out_len: int) -> bytes:
     if len(data) < need:
         raise InvalidInputType("rans-nx16: packed data shorter than output")
     out = bytearray(out_len)
-    if nsym <= 2:
-        for i in range(out_len):
-            out[i] = pmap[(data[i >> 3] >> (i & 7)) & 1]
-    elif nsym <= 4:
-        for i in range(out_len):
-            out[i] = pmap[(data[i >> 2] >> ((i & 3) << 1)) & 3]
-    elif nsym <= 16:
-        for i in range(out_len):
-            out[i] = pmap[(data[i >> 1] >> ((i & 1) << 2)) & 15]
-    else:
-        raise InvalidInputType("rans-nx16: pack with >16 symbols")
+    try:
+        if nsym <= 2:
+            for i in range(out_len):
+                out[i] = pmap[(data[i >> 3] >> (i & 7)) & 1]
+        elif nsym <= 4:
+            for i in range(out_len):
+                out[i] = pmap[(data[i >> 2] >> ((i & 3) << 1)) & 3]
+        elif nsym <= 16:
+            for i in range(out_len):
+                out[i] = pmap[(data[i >> 1] >> ((i & 1) << 2)) & 15]
+        else:
+            raise InvalidInputType("rans-nx16: pack with >16 symbols")
+    except IndexError:
+        raise InvalidInputType(
+            "rans-nx16: PACK index outside symbol map"
+        ) from None
     return bytes(out)
 
 
@@ -544,7 +561,12 @@ def decode(data: bytes, out_len: int | None = None) -> bytes:
 def _decode_stream(cur: _Cur, out_len: int | None) -> bytes:
     flags = cur.u8()
     if not flags & NOSZ:
-        out_len = cur.uint7()
+        embedded = cur.uint7()
+        if out_len is not None and embedded != out_len:
+            raise InvalidInputType(
+                "rans-nx16: embedded size disagrees with block raw size"
+            )
+        out_len = embedded
     if out_len is None:
         raise InvalidInputType("rans-nx16: NOSZ stream without external size")
     if flags & STRIPE:

@@ -587,24 +587,33 @@ def test_cram_31_tok3_file():
     assert [r.quals for r in out] == [r["quals"] for r in recs]
 
 
-def test_fqz_tok3_corruption_fuzz():
-    """Corrupt fqzcomp/tok3 streams must reject with InvalidInputType or
-    decode to the declared length -- never crash, hang, or leak another
-    exception type (the loud-failure contract the codecs document)."""
+def test_codec_corruption_fuzz():
+    """Corrupt CRAM 3.1 codec streams must reject with InvalidInputType
+    or decode to the declared length -- never crash, hang, or leak
+    another exception type (the loud-failure contract the codecs
+    document).  Covers arith (incl. PACK/EXT), rANS-Nx16 (order-1,
+    PACK|RLE), fqzcomp and tok3."""
     import random
 
-    from mapad_tpu.io import fqzcomp as fz, tok3
+    from mapad_tpu.io import arith, fqzcomp as fz, rans_nx16 as rx, tok3
 
     rng = np.random.default_rng(99)
     data = bytes(rng.choice(np.frombuffer(b"##$%&FFII", np.uint8), 600))
-    enc_f = fz.encode(data, [60] * 10, qmap=True, ptab=True, dtab=True)
     blob = b"".join(b"r%d\x00" % i for i in range(20))
-    enc_t = tok3.encode(blob)
-
+    cases = [
+        (arith.encode(data, arith.ORDER1 | arith.RLE), arith.decode,
+         len(data)),
+        (arith.encode(data, arith.PACK), arith.decode, len(data)),
+        (arith.encode(data, arith.EXT), arith.decode, len(data)),
+        (rx.encode(data, rx.ORDER1), rx.decode, len(data)),
+        (rx.encode(data, rx.PACK | rx.RLE), rx.decode, len(data)),
+        (fz.encode(data, [60] * 10, qmap=True, ptab=True, dtab=True),
+         fz.decode, len(data)),
+        (tok3.encode(blob), tok3.decode, len(blob)),
+    ]
     random.seed(1)
     rejected = 0
-    for enc, dec, ok_len in ((enc_f, fz.decode, len(data)),
-                             (enc_t, tok3.decode, len(blob))):
+    for enc, dec, ok_len in cases:
         for _ in range(120):
             b = bytearray(enc)
             for _ in range(random.randint(1, 4)):
@@ -614,4 +623,4 @@ def test_fqz_tok3_corruption_fuzz():
                 assert len(out) == ok_len
             except InvalidInputType:
                 rejected += 1
-    assert rejected > 50
+    assert rejected > 200

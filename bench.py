@@ -319,7 +319,11 @@ def main():
         # stages), and the axon tunnel's transfer bandwidth itself swings
         # ~20x for minutes at a time (ROADMAP round 4); criterion-style
         # min over repeats is the stable estimator
-        repeats = int(os.environ.get("BENCH_REPEATS", 3))
+        # 4 passes: the axon tunnel's bandwidth swings strike per-minute,
+        # so one extra ~7 s pass materially improves the odds that one
+        # pass lands in a clean window (measured band 9.1-10.1k reads/s
+        # across same-day windows with identical escalation counts)
+        repeats = int(os.environ.get("BENCH_REPEATS", 4))
         elapsed = float("inf")
         for _ in range(max(1, repeats)):
             t0 = time.perf_counter()

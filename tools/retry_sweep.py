@@ -46,7 +46,7 @@ KNOBS = [
     "MAPAD_DEEP_KGENS", "MAPAD_INFLIGHT", "MAPAD_PREP_THREADS",
     "MAPAD_DEEP_SPILL", "MAPAD_DEEP_NOHIT_HOST", "MAPAD_DEEP_LANES",
     "MAPAD_DEEP_STEPS", "MAPAD_DEEP_GENS", "MAPAD_FB_THREADS",
-    "MAPAD_NOHIT_PROBE",
+    "MAPAD_NOHIT_PROBE", "MAPAD_PROBE_K", "MAPAD_PROBE_BATCH",
 ]
 
 

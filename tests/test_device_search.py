@@ -744,9 +744,11 @@ def test_batched_nohit_probe_oracle_equal(bench_fixture, monkeypatch):
     engine = DeviceSearchEngine(fmd, params, mode="pool", pool_config=cfg)
     results = engine.search_chunk(_records(reads), lazy_fallback=True)
     assert engine._stats["oracle"] > 0
-    # the probe batch proved at least one read hitless
-    assert engine._stats.get("probe_empty", 0) > 0
     for res, read in zip(results, reads):
         hits, _dur = res.result() if hasattr(res, "result") else res
         oracle_hits = oracle_search(read, [40] * len(read), params, fmd)
         assert_hits_equal(hits, oracle_hits, read[:16])
+    # the probe batch proved at least one read hitless (checked AFTER
+    # resolving every future: the stat is written by fallback-pool
+    # tasks, so reading it before resolution races on a loaded host)
+    assert engine._stats.get("probe_empty", 0) > 0

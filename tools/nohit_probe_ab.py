@@ -85,6 +85,52 @@ def main():
                 flush=True,
             )
 
+    # batched interleaved probe over the no-hit class, single thread:
+    # isolates the K-interleave effect from pipeline scheduling
+    nohit_recs = [rec for rec, r in zip(reads, rows) if r[0] == 0]
+    if nohit_recs:
+        from mapad_tpu.ops.engine import _RANK_TABLE
+        from mapad_tpu.utils.seq import BASE_TO_CODE
+
+        mb = params.mismatch_bound
+        M = max(len(r.sequence) for r in nohit_recs)
+        B = len(nohit_recs)
+        ranks = np.zeros((B, M), np.uint8)
+        codes = np.zeros((B, M), np.uint8)
+        ns = np.zeros(B, np.int32)
+        sluts = np.zeros((B, M, 4), np.float32)
+        pens = np.zeros((B, M), np.float32)
+        splits = np.zeros(B, np.int32)
+        scales = np.ones(B, np.float32)
+        threshs = np.zeros(B, np.float32)
+        dm = params.difference_model
+        for bi, rec in enumerate(nohit_recs):
+            seq = np.frombuffer(bytes(rec.sequence), dtype=np.uint8)
+            quals = np.frombuffer(bytes(rec.base_qualities), dtype=np.uint8)
+            ln = len(seq)
+            slut, pen = _batch_luts(
+                dm, params, seq[None, :], quals[None, :],
+                np.asarray([ln], dtype=np.int32),
+            )
+            ranks[bi, :ln] = _RANK_TABLE[seq]
+            codes[bi, :ln] = BASE_TO_CODE[seq]
+            ns[bi] = ln
+            sluts[bi, :ln] = slut[0][:ln]
+            pens[bi, :ln] = pen[0][:ln]
+            splits[bi] = dm.find_alignment_start(ln)
+            threshs[bi] = mb.threshold_for_length(ln)
+        for K in (1, 2, 4, 8):
+            t0 = time.perf_counter()
+            v = searcher.probe_batch(ranks, codes, ns, sluts, pens,
+                                     splits, scales, threshs, params,
+                                     interleave=K)
+            dt = time.perf_counter() - t0
+            print(
+                f"probe_batch K={K}: n={B} {dt:.2f}s "
+                f"(mean {dt/B*1e3:.2f}ms) proven={int((v == 0).sum())}",
+                flush=True,
+            )
+
 
 if __name__ == "__main__":
     main()

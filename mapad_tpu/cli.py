@@ -266,7 +266,9 @@ def _dispatch(args):
                 )
             else:
                 engine = DeviceSearchEngine(
-                    index.fmd, params, lanes=args.lanes, packed_hits=packed
+                    index.fmd, params, lanes=args.lanes, packed_hits=packed,
+                    threads=args.num_threads if args.num_threads > 0
+                    else None,
                 )
 
         from .map.pipeline import run as mapping_run

@@ -355,13 +355,18 @@ class DeviceSearchEngine:
                  config: SearchConfig | None = None,
                  tiers: tuple = DEFAULT_TIERS, mode: str = "pool",
                  pool_config: "PoolConfig | None" = None,
-                 big: bool | None = None, packed_hits: bool = False):
+                 big: bool | None = None, packed_hits: bool = False,
+                 threads: int | None = None):
         import jax.numpy as jnp
 
         self.fmd = fmd_index
         self.parameters = parameters
         self.lanes = lanes
         self.mode = mode
+        # --threads parity (reference sizes its whole rayon pool,
+        # main.rs:57-302): when given, bounds the exact-fallback worker
+        # pool; MAPAD_FB_THREADS still overrides either way
+        self.threads = threads
         # packed_hits: return hits as PackedHits (flat op-word arrays for
         # the native postprocess path) instead of decoded HitInterval lists
         self.packed_hits = packed_hits
@@ -787,8 +792,9 @@ class DeviceSearchEngine:
         import os
         from concurrent.futures import ThreadPoolExecutor
 
-        n = int(os.environ.get("MAPAD_FB_THREADS", "0")) or max(
-            1, (os.cpu_count() or 2) - 1
+        n = int(os.environ.get("MAPAD_FB_THREADS", "0")) or (
+            getattr(self, "threads", None)
+            or max(1, (os.cpu_count() or 2) - 1)
         )
         if getattr(self, "_fb_pool", None) is None or (
             getattr(self, "_fb_threads", 0) != n

@@ -982,9 +982,9 @@ class DeviceSearchEngine:
         )
         nohit_probe = os.environ.get("MAPAD_NOHIT_PROBE", "0") == "1"
 
-        def fb_submit(rec, stash_i, stash, fut=None, nohit=False):
+        def fb_submit(rec, stash_i, stash, fut=None):
             f = fb_pool.submit(self._fallback_value, [rec], 0,
-                               self._stash_row(stash, stash_i), nohit)
+                               self._stash_row(stash, stash_i))
             if fut is None:
                 return f
             # chain the fallback result into the caller-visible future
@@ -1273,8 +1273,8 @@ class DeviceSearchEngine:
             max_len=stash["max_len"],
         )
 
-    def _fallback_value(self, records, i, stash=None, nohit=False):
-        return self._fallback_one(records, i, stash, nohit)[1]
+    def _fallback_value(self, records, i, stash=None):
+        return self._fallback_one(records, i, stash)[1]
 
     def _probe_batch_entries(self, entries, stash):
         """Fallback-pool task: K-way interleaved no-hit exhaustion probes
@@ -2010,7 +2010,7 @@ class DeviceSearchEngine:
             return False
         return native_search.available()
 
-    def _fallback_one(self, records, i, stash=None, nohit=False):
+    def _fallback_one(self, records, i, stash=None):
         searcher = self._ensure_native()
         t1 = time.perf_counter()
         record = records[i]
@@ -2031,10 +2031,9 @@ class DeviceSearchEngine:
                     int(stash["split"][i]), stash["scale"][i],
                     stash["thresh"][i], stash["repr_mm"][i],
                     self.parameters, packed=self.packed_hits,
-                    nohit_hint=nohit,
                 )
             else:
-                hits = self._native_search(searcher, record, nohit)
+                hits = self._native_search(searcher, record)
         else:
             hits = oracle_search(
                 record.sequence, record.base_qualities,

@@ -86,22 +86,6 @@ static void extend_all(const FmIndex& idx, const BiInterval& iv,
     }
 }
 
-static BiInterval backward_ext_rank(const FmIndex& idx, const BiInterval& iv,
-                                    int c) {
-    if (c < 1 || c > 4) return {0, 0, 0};
-    BiInterval out[4];
-    extend_all(idx, iv, out);
-    return out[4 - c];
-}
-
-static BiInterval forward_ext_rank(const FmIndex& idx, const BiInterval& iv,
-                                   int c) {
-    int comp = (c >= 1 && c <= 4) ? 5 - c : 0;
-    BiInterval sw = {iv.lower_rev, iv.lower, iv.size};
-    BiInterval r = backward_ext_rank(idx, sw, comp);
-    return {r.lower_rev, r.lower, r.size};
-}
-
 constexpr float F32_MIN = -3.4028235e38f;
 
 // Bi-D array (bi_d_array.rs): 15 offset walks per half, running-max window.

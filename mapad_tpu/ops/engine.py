@@ -45,6 +45,20 @@ def _pool_impl():
     measurement tools under tools/ have one stable import point."""
     return k_mismatch_search_pool2
 
+def _wire_opbits(MW):
+    """Wire width for one c_ops word in the packed result transfer.
+
+    A masked op word is base[0:2] | pos[2:17] | kind[17:19] | VALID[20]
+    (ops/search.py pack_op) and pos < max_len < MW, so on the wire an op
+    needs 2 + ceil(log2(MW)) + 2 + 1 bits.  Derived from the array shape
+    alone so _pack_result (device) and _unpack_result (host) agree
+    without a side channel.  Returns (opbits, ops_per_int64, pos_bits).
+    """
+    pb = max(1, (MW - 1).bit_length())
+    opbits = pb + 5
+    return opbits, 64 // opbits, pb
+
+
 @functools.partial(jax.jit, static_argnames=("R", "M"))
 def _unpack_prep(blob, R, M):
     """Split the one-transfer prep blob back into kernel inputs."""
@@ -1450,9 +1464,13 @@ class DeviceSearchEngine:
         transport charges a ~34 ms round trip per fetched array, so 15
         per-field np.asarray calls cost ~0.5 s/chunk while one packed
         transfer costs one round trip.  c_ops (the bulk of the payload)
-        travels 3 op words per 2 int32: every consumer reads bits 0..20
-        only (kind/pos/base + the VALID termination bit), so the words
-        are masked to 21 bits and packed 3-into-64."""
+        travels as NARROW wire ops: every consumer reads bits 0..20 only
+        (base[0:2] | pos[2:17] | kind[17:19] | VALID[20], ops/search.py
+        pack_op), and pos < max_len < MW, so pos needs only
+        ceil(log2(MW)) wire bits -- at production M<=128 that is a
+        12-bit op, 5 per int64 (12.8 bits/op vs the 21.33 of the older
+        3-into-64 scheme; the fetch is the transport-weather-sensitive
+        stage, ROADMAP round 5)."""
         import jax.numpy as jnp
 
         parts = []
@@ -1464,11 +1482,21 @@ class DeviceSearchEngine:
                 MW = a.shape[-1]  # may carry a leading mesh-device axis
                 Cn = int(np.prod(a.shape[:-1]))
                 a = a.reshape(Cn, MW)
-                MW3 = -(-MW // 3) * 3
-                g = jnp.pad(a & 0x1FFFFF, ((0, 0), (0, MW3 - MW)))
-                g = g.reshape(Cn, MW3 // 3, 3).astype(jnp.int64)
-                w = g[..., 0] | (g[..., 1] << 21) | (g[..., 2] << 42)
-                a = jax.lax.bitcast_convert_type(w, jnp.int32)
+                opbits, K, pb = _wire_opbits(MW)
+                w = a & 0x1FFFFF
+                narrow = (
+                    (w & 3)
+                    | (((w >> 2) & ((1 << pb) - 1)) << 2)
+                    | (((w >> 17) & 3) << (2 + pb))
+                    | (((w >> 20) & 1) << (4 + pb))
+                )
+                MWK = -(-MW // K) * K
+                g = jnp.pad(narrow, ((0, 0), (0, MWK - MW)))
+                g = g.reshape(Cn, MWK // K, K).astype(jnp.int64)
+                w64 = g[..., 0]
+                for k in range(1, K):
+                    w64 = w64 | (g[..., k] << (k * opbits))
+                a = jax.lax.bitcast_convert_type(w64, jnp.int32)
             elif a.dtype in (jnp.int64, jnp.float32):
                 a = jax.lax.bitcast_convert_type(a, jnp.int32)
             elif a.dtype == jnp.bool_:
@@ -1493,15 +1521,21 @@ class DeviceSearchEngine:
             if name == "c_ops":
                 MW = leaf.shape[-1]
                 Cn = int(np.prod(leaf.shape[:-1]))
-                MW3 = -(-MW // 3) * 3
-                n_i32 = Cn * (MW3 // 3) * 2
+                opbits, K, pb = _wire_opbits(MW)
+                MWK = -(-MW // K) * K
+                n_i32 = Cn * (MWK // K) * 2
                 w = flat[off : off + n_i32].view(np.int64).reshape(
-                    Cn, MW3 // 3
+                    Cn, MWK // K
                 )
-                arr = np.empty((Cn, MW3), dtype=np.int64)
-                arr[:, 0::3] = w & 0x1FFFFF
-                arr[:, 1::3] = (w >> 21) & 0x1FFFFF
-                arr[:, 2::3] = (w >> 42) & 0x1FFFFF
+                v = np.empty((Cn, MWK), dtype=np.int64)
+                for k in range(K):
+                    v[:, k::K] = (w >> (k * opbits)) & ((1 << opbits) - 1)
+                arr = (
+                    (v & 3)
+                    | (((v >> 2) & ((1 << pb) - 1)) << 2)
+                    | (((v >> (2 + pb)) & 3) << 17)
+                    | (((v >> (4 + pb)) & 1) << 20)
+                )
                 arr = arr[:, :MW].astype(dt).reshape(leaf.shape)
             elif dt == np.bool_:
                 n_i32 = int(np.prod(leaf.shape))  # packed as int32

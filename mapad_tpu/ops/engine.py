@@ -128,6 +128,35 @@ def _build_all_lut(sdm, params, max_n: int, Q: int = _DEV_LUT_Q):
     return table, pen, (base * (5 * Q)).astype(np.int32)
 
 
+def _pack_cq10(seqs, quals):
+    """Host side of the 10-bit (class, qual) wire cell: cls<<7|qual needs
+    3+7 bits (cls <= 4, qual < _DEV_LUT_Q = 94 < 128), so three cells ride
+    one int32 instead of the two a u16 layout allows -- the upload blob is
+    the other transport-weather-sensitive payload (ROADMAP round 5)."""
+    cq = (_CLS_TABLE[seqs].astype(np.int32) << 7) | quals
+    cq = np.ascontiguousarray(cq).reshape(-1)
+    RM = cq.size
+    RM3 = -(-RM // 3) * 3
+    if RM3 != RM:
+        cq = np.concatenate([cq, np.zeros(RM3 - RM, np.int32)])
+    return cq[0::3] | (cq[1::3] << 10) | (cq[2::3] << 20)
+
+
+def _cq_words(RM):
+    """int32 word count of the 10-bit cq segment for RM cells."""
+    return -(-RM // 3)
+
+
+def _unpack_cq10(w, RM):
+    """Device side of `_pack_cq10`: (ceil(RM/3),) i32 -> (RM,) cq cells."""
+    import jax.numpy as jnp
+
+    cq = jnp.stack(
+        [w & 0x3FF, (w >> 10) & 0x3FF, (w >> 20) & 0x3FF], axis=1
+    ).reshape(-1)
+    return cq[:RM]
+
+
 @functools.partial(jax.jit, static_argnames=("R", "M", "Q"))
 def _unpack_prep_lut(blob, tab, off, R, M, Q):
     """Small-blob variant of `_unpack_prep`: the 4 score columns and the
@@ -150,8 +179,7 @@ def _unpack_prep_lut(blob, tab, off, R, M, Q):
     repr_mm = f32(blob[4 * R : 5 * R])
     RM = R * M
     bid = f32(blob[5 * R : 5 * R + RM])
-    w = blob[5 * R + RM :]
-    cq = jnp.stack([w & 0xFFFF, (w >> 16) & 0xFFFF], axis=1).reshape(RM)
+    cq = _unpack_cq10(blob[5 * R + RM :], RM)
     cls = cq >> 7
     q = cq & 0x7F
     j = jax.lax.broadcasted_iota(jnp.int32, (R, M), 1).reshape(RM)
@@ -188,8 +216,7 @@ def _unpack_prep_full(blob, tab, pen_tab, off, R, M, Q):
     thresh = f32(blob[3 * R : 4 * R])
     repr_mm = f32(blob[4 * R : 5 * R])
     RM = R * M
-    w = blob[5 * R :]
-    cq = jnp.stack([w & 0xFFFF, (w >> 16) & 0xFFFF], axis=1).reshape(RM)
+    cq = _unpack_cq10(blob[5 * R :], RM)
     cls = cq >> 7
     q = cq & 0x7F
     j = jax.lax.broadcasted_iota(jnp.int32, (R, M), 1).reshape(RM)
@@ -588,7 +615,7 @@ class DeviceSearchEngine:
             packed3 = blob[5 * L :].view(np.float32).reshape(L, max_len, 6)
             score_lut = packed3[:, :, :4]
         elif host_bid:
-            blob = np.zeros(5 * L + RM + RM // 2, dtype=np.int32)
+            blob = np.zeros(5 * L + RM + _cq_words(RM), dtype=np.int32)
             packed3 = None
             score_lut = np.zeros((L, max_len, 4), dtype=np.float32)
         else:
@@ -645,11 +672,7 @@ class DeviceSearchEngine:
             blob[3 * L : 4 * L] = thresh.view(np.int32)
             blob[4 * L : 5 * L] = repr_mm.view(np.int32)
             if dev_lut:
-                cq = (
-                    (_CLS_TABLE[seqs].astype(np.uint16) << np.uint16(7))
-                    | quals
-                ).reshape(-1)
-                blob[5 * L + RM :] = cq.view(np.int32)
+                blob[5 * L + RM :] = _pack_cq10(seqs, quals)
             else:
                 packed3[:, :, 4] = pattern_code
             bid = bid_fut.result()
@@ -696,17 +719,13 @@ class DeviceSearchEngine:
             # are reconstructed on device (_unpack_prep_full)
             thresh = cutoff_thresh.copy()
             thresh[n == 0] = np.float32(np.inf)
-            blob = np.zeros(5 * L + RM // 2, dtype=np.int32)
+            blob = np.zeros(5 * L + _cq_words(RM), dtype=np.int32)
             blob[:L] = n.view(np.int32)
             blob[L : 2 * L] = split.view(np.int32)
             blob[2 * L : 3 * L] = cutoff_scale.view(np.int32)
             blob[3 * L : 4 * L] = thresh.view(np.int32)
             blob[4 * L : 5 * L] = repr_mm.view(np.int32)
-            cq = (
-                (_CLS_TABLE[seqs].astype(np.uint16) << np.uint16(7))
-                | quals
-            ).reshape(-1)
-            blob[5 * L :] = cq.view(np.int32)
+            blob[5 * L :] = _pack_cq10(seqs, quals)
             tab, pen_tab, off = self._device_lut()
             parts = _unpack_prep_full(
                 jnp.asarray(blob), tab, pen_tab, off, L, max_len,

@@ -147,6 +147,76 @@ def _cq_words(RM):
     return -(-RM // 3)
 
 
+# RLE segments per read (_BID_SEG - 1 u8 breaks padded to _BID_SEG bytes,
+# plus _BID_SEG f32 values).  32 covers the worst measured case: run count
+# grows as read_len / log4(genome) -- a 10 kb test genome with 100 bp reads
+# peaks at 29 runs, while production genomes (>= Mbp) stay under ~12.
+_BID_SEG = 32
+
+
+def _inject_pre_escalate(stash, n, escalated, abandoned_out, nohit_out):
+    """Route reads the prep stage neutralized on device (Bi-D RLE
+    overflow, `_pack_bid_rle`) to the host fallback: they produced no
+    device hits by construction, so they join the escalated set as
+    no-hit abandons (never retried/deep-tiered -- the next prep would
+    overflow again).  Returns the number of newly escalated reads."""
+    pre = None if stash is None else stash.get("pre_escalate")
+    if pre is None:
+        return 0
+    added = 0
+    for i in pre:
+        i = int(i)
+        if i >= n:
+            continue
+        if i not in escalated:
+            added += 1
+        escalated.add(i)
+        if abandoned_out is not None:
+            abandoned_out.add(i)
+        if nohit_out is not None:
+            nohit_out.add(i)
+    return added
+
+
+def _pack_bid_rle(bid):
+    """Run-length encode the Bi-D composite for the upload blob.
+
+    Each read's d_composite is a step function over positions with few
+    value changes (increments at extension-failure points, min-reduced
+    over 15 offset walks, map/bi_d_array.py) -- typically < 12 runs per
+    75 bp read at production genome sizes.  Wire layout per read:
+    _BID_SEG - 1 u8 break positions (sentinel 255 = unused; positions
+    < max_len <= 128 fit u8) packed 4/int32, then _BID_SEG f32 segment
+    values; cell j reconstructs as vals[count(breaks <= j)].  Cuts the
+    bid segment from M to _BID_SEG * 1.25 words per read.  Reads with
+    more runs than segments cannot be represented: their break table is
+    truncated, so the caller MUST route them to the host fallback
+    (returned as the third element) and neutralize them on device.
+
+    Returns (breaks (L * _BID_SEG/4,) i32, vals (L * _BID_SEG,) i32
+    bit-view, overflow_row_indices)."""
+    bid = np.ascontiguousarray(bid, dtype=np.float32)
+    L, M = bid.shape
+    change = bid[:, 1:] != bid[:, :-1]
+    nseg = 1 + change.sum(axis=1)
+    overflow = np.flatnonzero(nseg > _BID_SEG)
+    rows, cols = np.nonzero(change)
+    # rank of each change within its row (rows ascending from nonzero)
+    k = np.arange(rows.size) - np.searchsorted(rows, rows)
+    keep = k < _BID_SEG - 1
+    r, kk, c = rows[keep], k[keep], cols[keep] + 1
+    breaks = np.full((L, _BID_SEG), 255, dtype=np.uint8)
+    vals = np.zeros((L, _BID_SEG), dtype=np.float32)
+    vals[:, 0] = bid[:, 0]
+    breaks[r, kk] = c.astype(np.uint8)
+    vals[r, kk + 1] = bid[r, c]
+    return (
+        breaks.reshape(-1).view(np.int32),
+        vals.reshape(-1).view(np.int32),
+        overflow,
+    )
+
+
 def _unpack_cq10(w, RM):
     """Device side of `_pack_cq10`: (ceil(RM/3),) i32 -> (RM,) cq cells."""
     import jax.numpy as jnp
@@ -157,16 +227,17 @@ def _unpack_cq10(w, RM):
     return cq[:RM]
 
 
-@functools.partial(jax.jit, static_argnames=("R", "M", "Q"))
-def _unpack_prep_lut(blob, tab, off, R, M, Q):
+@functools.partial(jax.jit, static_argnames=("R", "M", "Q", "rle"))
+def _unpack_prep_lut(blob, tab, off, R, M, Q, rle=False):
     """Small-blob variant of `_unpack_prep`: the 4 score columns and the
     pattern code are reconstructed ON DEVICE -- scores gathered from the
     one-time `_build_all_lut` table, code == base class -- so the
     per-invocation upload carries only consts + Bi-D + packed
-    (class, qual) u16s: 1.5 words/cell instead of 6.  The axon tunnel's
-    host<->device bandwidth is the volatile resource (it swings ~20x,
-    ROADMAP round 4); a 4x smaller blob keeps e2e throughput stable
-    through the bad-weather windows."""
+    (class, qual) cells.  With rle the Bi-D travels as a 16-segment
+    run-length code (`_pack_bid_rle`, 20 words/read instead of M).  The
+    axon tunnel's host<->device bandwidth is the volatile resource (it
+    swings ~20x, ROADMAP round 4); a small blob keeps e2e throughput
+    stable through the bad-weather windows."""
     import jax.numpy as jnp
 
     def f32(x):
@@ -178,8 +249,27 @@ def _unpack_prep_lut(blob, tab, off, R, M, Q):
     thresh = f32(blob[3 * R : 4 * R])
     repr_mm = f32(blob[4 * R : 5 * R])
     RM = R * M
-    bid = f32(blob[5 * R : 5 * R + RM])
-    cq = _unpack_cq10(blob[5 * R + RM :], RM)
+    if rle:
+        BW = _BID_SEG // 4
+        w4 = blob[5 * R : (5 + BW) * R].reshape(R, BW)
+        b = jnp.stack(
+            [w4 & 0xFF, (w4 >> 8) & 0xFF, (w4 >> 16) & 0xFF,
+             (w4 >> 24) & 0xFF],
+            axis=2,
+        ).reshape(R, _BID_SEG)[:, : _BID_SEG - 1]
+        vals = f32(
+            blob[(5 + BW) * R : (5 + BW + _BID_SEG) * R]
+        ).reshape(R, _BID_SEG)
+        j = jax.lax.broadcasted_iota(jnp.int32, (R, M), 1)
+        seg = jnp.sum(
+            j[:, :, None] >= b[:, None, :], axis=2, dtype=jnp.int32
+        )
+        bid = jnp.take_along_axis(vals, seg, axis=1).reshape(RM)
+        cqseg = blob[(5 + BW + _BID_SEG) * R :]
+    else:
+        bid = f32(blob[5 * R : 5 * R + RM])
+        cqseg = blob[5 * R + RM :]
+    cq = _unpack_cq10(cqseg, RM)
     cls = cq >> 7
     q = cq & 0x7F
     j = jax.lax.broadcasted_iota(jnp.int32, (R, M), 1).reshape(RM)
@@ -606,7 +696,13 @@ class DeviceSearchEngine:
             and int(quals.max(initial=0)) < _DEV_LUT_Q
         )
         dev_lut = host_bid and dev_ok
+        # Bi-D as a 16-segment RLE (20 words/read vs M): reads whose
+        # composite has more runs than the code can carry are neutralized
+        # on device (thresh = +inf, like padding lanes) and routed to the
+        # host fallback at collect time (stash["pre_escalate"])
+        bid_rle = dev_lut and _os.environ.get("MAPAD_BID_RLE", "1") != "0"
         RM = L * max_len
+        bid_words = (_BID_SEG // 4 + _BID_SEG) * L if bid_rle else RM
         if host_bid and not dev_lut:
             # allocate the one-transfer upload blob up front and fill the
             # score columns in place (saves a 16 MB array + 16 MB copy per
@@ -615,7 +711,8 @@ class DeviceSearchEngine:
             packed3 = blob[5 * L :].view(np.float32).reshape(L, max_len, 6)
             score_lut = packed3[:, :, :4]
         elif host_bid:
-            blob = np.zeros(5 * L + RM + _cq_words(RM), dtype=np.int32)
+            blob = np.zeros(5 * L + bid_words + _cq_words(RM),
+                            dtype=np.int32)
             packed3 = None
             score_lut = np.zeros((L, max_len, 4), dtype=np.float32)
         else:
@@ -672,11 +769,23 @@ class DeviceSearchEngine:
             blob[3 * L : 4 * L] = thresh.view(np.int32)
             blob[4 * L : 5 * L] = repr_mm.view(np.int32)
             if dev_lut:
-                blob[5 * L + RM :] = _pack_cq10(seqs, quals)
+                blob[5 * L + bid_words :] = _pack_cq10(seqs, quals)
             else:
                 packed3[:, :, 4] = pattern_code
             bid = bid_fut.result()
-            if dev_lut:
+            if dev_lut and bid_rle:
+                br, vv, ovf = _pack_bid_rle(bid)
+                bw = _BID_SEG // 4
+                blob[5 * L : (5 + bw) * L] = br
+                blob[(5 + bw) * L : (5 + bw) * L + _BID_SEG * L] = vv
+                if ovf.size:
+                    # unrepresentable reads finish instantly with no hits
+                    # (same mechanism as n == 0 padding) and escalate
+                    blob[3 * L + ovf] = (
+                        np.float32(np.inf).view(np.int32)
+                    )
+                    stash["pre_escalate"] = ovf
+            elif dev_lut:
                 blob[5 * L : 5 * L + RM] = (
                     np.ascontiguousarray(bid, dtype=np.float32)
                     .reshape(-1).view(np.int32)
@@ -690,7 +799,8 @@ class DeviceSearchEngine:
             if dev_lut:
                 tab, _pen_tab, off = self._device_lut()
                 parts = _unpack_prep_lut(
-                    jnp.asarray(blob), tab, off, L, max_len, _DEV_LUT_Q
+                    jnp.asarray(blob), tab, off, L, max_len, _DEV_LUT_Q,
+                    rle=bid_rle,
                 )
             else:
                 parts = _unpack_prep(jnp.asarray(blob), L, max_len)
@@ -1577,10 +1687,12 @@ class DeviceSearchEngine:
                       count_stats: bool = True,
                       nohit_out: set | None = None):
         t_fetch = time.perf_counter()
+        stash = None
         if isinstance(handle, tuple) and not hasattr(handle, "_fields"):
             # launched tuple from _launch_block: the pack was dispatched at
             # launch time and its D2H copy already runs in the background
             h, packed = handle[0], handle[1]
+            stash = handle[3] if len(handle) > 3 else None
             result = self._unpack_result(h, np.asarray(packed))
         elif isinstance(jax.tree.leaves(handle)[0], jax.Array):
             result = self._fetch_result(handle)
@@ -1595,10 +1707,14 @@ class DeviceSearchEngine:
         if result.c_read.ndim == 2:
             # mesh-sharded result (leading device axis): collect per shard
             # and un-deal back to input order
-            return self._collect_pool_sharded(
+            esc = self._collect_pool_sharded(
                 chunk, result, out, base, t0, abandoned_out, deep_out,
-                count_stats,
+                count_stats, nohit_out,
             )
+            _inject_pre_escalate(
+                stash, len(chunk), esc, abandoned_out, nohit_out
+            )
+            return esc
         t_dec = time.perf_counter()
         per_read = elapsed / max(len(chunk), 1)
         read_time = None
@@ -1626,6 +1742,9 @@ class DeviceSearchEngine:
             "undispatched": 0, "abandon": 0,
         }
         esc_why["overlong"] += len(escalated)
+        esc_why["bid_rle"] = esc_why.get("bid_rle", 0) + _inject_pre_escalate(
+            stash, len(chunk), escalated, abandoned_out, nohit_out
+        )
         n_chains = int(result.n_chains)
         if n_chains > result.c_read.shape[0]:
             # chain log overflow: cannot attribute hits safely
